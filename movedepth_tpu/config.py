@@ -1,0 +1,170 @@
+"""Typed configuration for MoveDepth-TPU.
+
+Mirrors every *live* flag of the reference argparse config
+(reference: movedepth/options.py:7-350) as one frozen dataclass, so a config
+is hashable and can be closed over by jitted functions. Dead reference flags
+(casbins/casfac/casch, mvs_raft, iter_*, v1_multiscale, ...) pair with unused
+components and are intentionally omitted; they are documented in SURVEY.md
+section 2.2.
+
+Fixes two reference bugs rather than replicating them:
+  * the reference's ``train.py`` imports a nonexistent ``MovedepthOptions``
+    (reference: movedepth/train.py:5 vs options.py:7) -- here there is a
+    single ``Config`` used everywhere;
+  * the reference's default ``models_to_load`` contains the malformed entry
+    ``"pose, reg3d"`` and omits ``mask_cnn``/``up``
+    (reference: movedepth/options.py:251) -- here the default restores every
+    model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+ALL_MODELS: Tuple[str, ...] = (
+    "mono_encoder",
+    "mono_depth",
+    "pose_encoder",
+    "pose",
+    "mvs_encoder",
+    "reg3d",
+    "mask_cnn",
+    "up",
+)
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- data (reference: options.py:11-27,64-79) ----
+    data_path: str = "kitti_data"
+    log_dir: str = "log"
+    model_name: str = "mdp"
+    split: str = "eigen_zhou"
+    dataset: str = "kitti"
+    png: bool = False
+    height: int = 192
+    width: int = 640
+
+    # ---- model architecture (reference: options.py:28-32,123-125,197-212) ----
+    res_arch: int = 18  # ResNet depth for mono/pose encoders (18/34/50/101/152)
+    weights_init: str = "pretrained"  # "pretrained" | "scratch"
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    prior_scale: int = 2  # scale of the mono disp used as the MVS prior
+    reg3d_c: int = 16  # cost-volume group count == reg3d channels
+    convex_up: bool = True  # shipped scripts pass --convex_up
+    dcn: bool = False  # deformable conv variant (off in shipped config)
+
+    # ---- depth range / cost volume (reference: options.py:33-63,89-118,217-231) ----
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    num_depth_bins: int = 16
+    depth_bin_fac: float = 0.3
+    schedule_type: str = "inverse"  # 'inverse' | 'linear' | 'log'
+    ztrans_start_epc: int = 8
+    z_scale: float = 30.0
+    norm_radius: int = 1
+
+    # ---- frames (reference: options.py:97-106,166-173) ----
+    frame_ids: Tuple[int, ...] = (0, -1, 1)
+    matching_ids: Tuple[int, ...] = (0, -1)
+
+    # ---- optimization (reference: options.py:119-146) ----
+    batch_size: int = 12
+    learning_rate: float = 1e-4
+    lr_fac: float = 1.0  # LR multiplier for the MVS parameter group
+    num_epochs: int = 20
+    scheduler_step_size: int = 15  # StepLR x0.1 at this epoch
+    seed: int = 1
+
+    # ---- losses (reference: options.py:49-60,80-83,150-160,319-341) ----
+    ssim_lw: float = 0.85
+    disparity_smoothness: float = 1e-3
+    mask_lw: float = 10.0  # masked-augmentation consistency weight
+    no_ssim: bool = False
+    disable_automasking: bool = False
+    avg_reprojection: bool = False
+    mask_mvs_conf: bool = False
+    mask_mvs_dist: bool = False
+    mask_mvs_geo: bool = False
+    mask_mvs_auto: bool = False
+    mvs_smooth_loss: bool = False
+    photo_conf: float = 0.2
+    dist_thres: float = 0.0
+    pixel_thres: float = 1.0
+    depth_thres: float = 0.1
+
+    # ---- pose (reference: options.py:317-318) ----
+    load_pose: bool = False  # use precomputed DVSO poses instead of PoseNet
+
+    # ---- system ----
+    num_workers: int = 12
+    compute_dtype: str = "bfloat16"  # dtype of conv/matmul compute on TPU
+    param_dtype: str = "float32"
+
+    # ---- loading (reference: options.py:242-251) ----
+    load_weights_folder: Optional[str] = None
+    mono_weights_folder: Optional[str] = None
+    models_to_load: Tuple[str, ...] = ALL_MODELS
+
+    # ---- logging (reference: options.py:254-264) ----
+    log_frequency: int = 250
+    save_frequency: int = 1
+    save_intermediate_models: bool = False
+
+    # ---- evaluation (reference: options.py:267-314) ----
+    eval_split: str = "eigen"
+    disable_median_scaling: bool = False
+    pred_depth_scale_factor: float = 1.0
+    post_process: bool = False
+
+    # ---- parallelism (TPU-native replacement of reference DDP flags) ----
+    data_axis: str = "data"  # mesh axis name for data parallelism / SyncBN
+    num_data_shards: int = 1  # informational; actual mesh comes from devices
+
+    # -------------------------------------------------------------- helpers
+    @property
+    def num_scales(self) -> int:
+        return len(self.scales)
+
+    @property
+    def prior_hw(self) -> Tuple[int, int]:
+        s = 2 ** self.prior_scale
+        return self.height // s, self.width // s
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        """Persist the experiment config (reference: trainer.py:796-805)."""
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("scales", "frame_ids", "matching_ids", "models_to_load"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+def validate(cfg: Config) -> Config:
+    """Shape/consistency checks (reference: trainer.py:39-57)."""
+    if cfg.height % 32 != 0:
+        raise ValueError("height must be a multiple of 32")
+    if cfg.width % 32 != 0:
+        raise ValueError("width must be a multiple of 32")
+    if cfg.frame_ids[0] != 0:
+        raise ValueError("frame_ids must start with 0")
+    if len(cfg.frame_ids) <= 1:
+        raise ValueError("frame_ids must have more than 1 frame")
+    if cfg.matching_ids[0] != 0:
+        raise ValueError("matching_ids must start with 0")
+    if cfg.res_arch not in (18, 34, 50, 101, 152):
+        raise ValueError("res_arch must be one of 18/34/50/101/152")
+    if cfg.schedule_type not in ("inverse", "linear", "log"):
+        raise ValueError("unknown schedule_type")
+    return cfg

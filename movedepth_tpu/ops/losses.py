@@ -1,0 +1,112 @@
+"""Self-supervised photometric losses as pure JAX functions.
+
+Covers the reference's SSIM / reprojection / edge-aware smoothness /
+smooth-L1 / entropy ops (reference: movedepth/layers.py:630-677,862-863;
+trainer.py:535-550,399). All elementwise+window math fuses into a handful
+of XLA ops on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _avg_pool3(x):
+    """3x3 stride-1 VALID mean pool over NHWC."""
+    out = lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    )
+    return out / 9.0
+
+
+def ssim(x, y):
+    """Structural dissimilarity map, clamp((1 - SSIM)/2, 0, 1).
+
+    x, y: NHWC in [0, 1]. Reflection-pads by 1 then uses 3x3 mean pooling,
+    matching the reference exactly (reference: movedepth/layers.py:646-677).
+    """
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    yp = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _avg_pool3(xp)
+    mu_y = _avg_pool3(yp)
+    sigma_x = _avg_pool3(xp * xp) - mu_x * mu_x
+    sigma_y = _avg_pool3(yp * yp) - mu_y * mu_y
+    sigma_xy = _avg_pool3(xp * yp) - mu_x * mu_y
+
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1 - ssim_n / ssim_d) / 2, 0.0, 1.0)
+
+
+def reprojection_loss(pred, target, ssim_lw=0.85, use_ssim=True):
+    """Per-pixel photometric loss, (B, H, W, 1).
+
+    ``ssim_lw * SSIM + (1 - ssim_lw) * L1``, both mean-reduced over channels
+    (reference: movedepth/trainer.py:535-550). ``ssim_lw=0`` reproduces the
+    fuse branch's pure-L1 configuration (reference: trainer.py:588).
+    """
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    if not use_ssim:
+        return l1
+    s = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
+    return ssim_lw * s + (1.0 - ssim_lw) * l1
+
+
+def smooth_loss(disp, img):
+    """Edge-aware first-order smoothness, scalar.
+
+    disp: (B, H, W, 1); img: (B, H, W, C).
+    (reference: movedepth/layers.py:630-643)
+    """
+    dx = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    dy = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+    ix = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), -1, keepdims=True)
+    iy = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]), -1, keepdims=True)
+    dx = dx * jnp.exp(-ix)
+    dy = dy * jnp.exp(-iy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+def smooth_l1_loss(pred, target, beta=1.0):
+    """Elementwise Huber/smooth-L1 (torch F.smooth_l1_loss semantics,
+    mean reduction). Used by the masked-augmentation consistency loss
+    (reference: movedepth/trainer.py:399)."""
+    d = jnp.abs(pred - target)
+    out = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    return jnp.mean(out)
+
+
+def entropy(volume, axis, keepdims=False):
+    """Shannon entropy of a probability volume along ``axis``.
+
+    (reference: movedepth/layers.py:862-863)
+    """
+    clamped = jnp.clip(volume, 1e-9, 1.0)
+    return jnp.sum(-volume * jnp.log(clamped), axis=axis, keepdims=keepdims)
+
+
+def min_reprojection_with_automask(reproj_losses, identity_losses, noise):
+    """monodepth2 min-reprojection + identity automasking.
+
+    reproj_losses / identity_losses: (B, H, W, N) per source frame;
+    noise: randn tiebreak matching the reference's
+    ``+ randn * 1e-5`` (reference: movedepth/trainer.py:689-702).
+    Returns (min_reproj (B,H,W,1), mask (B,H,W,1)) where mask=1 keeps the
+    pixel (reprojection beats identity).
+    """
+    reproj = jnp.min(reproj_losses, axis=-1, keepdims=True)
+    ident = jnp.min(identity_losses, axis=-1, keepdims=True)
+    ident = ident + noise * 1e-5
+    mask = (reproj <= ident).astype(reproj.dtype)
+    return reproj, mask
+
+
+def masked_mean(x, mask, eps=1e-7):
+    """sum(x * mask) / (sum(mask) + eps) (reference: trainer.py:708-709)."""
+    return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
