@@ -1,0 +1,132 @@
+"""Model shape/behavior tests (reference shapes from SURVEY.md section 3.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from movedepth_tpu.config import Config
+from movedepth_tpu.models import (
+    ResNetEncoder, DepthDecoder, UncertNet, PoseDecoder, FPN4, Reg3D, Reg2D,
+    ConvexUpsampleHead, encoder_channels, build_models,
+)
+
+KEY = jax.random.PRNGKey(0)
+H, W = 96, 160  # small multiples of 32 for fast tests
+
+
+def init_and_run(model, *args, train=False, method=None):
+    variables = model.init(KEY, *args, train)
+    out = model.apply(variables, *args, train,
+                      mutable=["batch_stats"] if train else False)
+    return variables, out
+
+
+@pytest.mark.parametrize("arch", [18, 50])
+def test_resnet_encoder_shapes(arch):
+    x = jnp.zeros((1, H, W, 3))
+    model = ResNetEncoder(arch=arch, dtype=jnp.float32)
+    _, (feats, _) = init_and_run(model, x, train=True)
+    chans = encoder_channels(arch)
+    assert len(feats) == 5
+    for i, (f, c) in enumerate(zip(feats, chans)):
+        s = 2 ** (i + 1)
+        assert f.shape == (1, H // s, W // s, c), (i, f.shape)
+
+
+def test_pose_encoder_6ch():
+    x = jnp.zeros((2, H, W, 6))
+    model = ResNetEncoder(arch=18, num_input_images=2, dtype=jnp.float32)
+    variables = model.init(KEY, x, False)
+    feats = model.apply(variables, x, False)
+    assert feats[-1].shape == (2, H // 32, W // 32, 512)
+
+
+def test_depth_decoder_shapes():
+    chans = encoder_channels(18)
+    feats = [
+        jnp.zeros((1, H // (2 ** (i + 1)), W // (2 ** (i + 1)), c))
+        for i, c in enumerate(chans)
+    ]
+    model = DepthDecoder(num_ch_enc=chans, dtype=jnp.float32)
+    variables = model.init(KEY, feats)
+    out = model.apply(variables, feats)
+    for s in range(4):
+        d = out[("disp", s)]
+        assert d.shape == (1, H // 2 ** s, W // 2 ** s, 1)
+        v = np.asarray(d)
+        assert (v >= 0).all() and (v <= 1).all()
+
+
+def test_pose_decoder_shapes_and_scale():
+    feats = [[jnp.ones((3, H // 32, W // 32, 512))]]
+    model = PoseDecoder(num_ch_enc=encoder_channels(18), dtype=jnp.float32)
+    variables = model.init(KEY, feats)
+    aa, tr = model.apply(variables, feats)
+    assert aa.shape == (3, 2, 1, 3) and tr.shape == (3, 2, 1, 3)
+    # the 0.01 scaling keeps initial poses small (reference pose_decoder.py:43)
+    assert float(jnp.abs(aa).max()) < 1.0
+
+
+def test_fpn4_shapes():
+    x = jnp.zeros((1, H, W, 3))
+    model = FPN4(base_channels=8, scale=2, dtype=jnp.float32)
+    variables = model.init(KEY, x, False)
+    match, ctx = model.apply(variables, x, False)
+    assert match.shape == (1, H // 4, W // 4, 32)
+    assert ctx.shape == (1, H // 4, W // 4, 32)
+
+
+def test_reg3d_shapes():
+    vol = jnp.zeros((1, 16, H // 4, W // 4, 16))
+    model = Reg3D(base_channels=16, down_size=3, dtype=jnp.float32)
+    variables = model.init(KEY, vol, False)
+    out = model.apply(variables, vol, False)
+    assert out.shape == (1, 16, H // 4, W // 4)
+
+
+def test_reg2d_shapes():
+    vol = jnp.zeros((1, 4, H // 4, W // 4, 16))
+    model = Reg2D(base_channels=16, dtype=jnp.float32)
+    variables = model.init(KEY, vol, False)
+    out = model.apply(variables, vol, False)
+    assert out.shape == (1, 4, H // 4, W // 4)
+
+
+def test_uncertnet_range():
+    x = jnp.ones((1, 12, 20, 1)) * 0.5
+    model = UncertNet(dtype=jnp.float32)
+    variables = model.init(KEY, x, False)
+    out = model.apply(variables, x, False)
+    v = np.asarray(out)
+    assert out.shape == x.shape and (v > 0).all() and (v < 1).all()
+
+
+def test_convex_upsample_head_shape():
+    feat = jnp.zeros((1, 12, 20, 32))
+    model = ConvexUpsampleHead(scale=2, dtype=jnp.float32)
+    variables = model.init(KEY, feat)
+    out = model.apply(variables, feat)
+    assert out.shape == (1, 12, 20, 9 * 16)
+
+
+def test_build_models_shipped_config():
+    cfg = Config(compute_dtype="float32")
+    models = build_models(cfg)
+    assert set(models) == {
+        "mono_encoder", "mono_depth", "pose_encoder", "pose", "mvs_encoder",
+        "reg3d", "mask_cnn", "up",
+    }
+    # reg2d is selected below 8 bins (reference trainer.py:116-119)
+    m2 = build_models(cfg.replace(num_depth_bins=4))
+    assert type(m2["reg3d"]).__name__ == "Reg2D"
+
+
+def test_batchnorm_updates_stats():
+    x = jax.random.normal(KEY, (4, 16, 16, 3)) * 3 + 1
+    model = FPN4(base_channels=8, scale=2, dtype=jnp.float32)
+    variables = model.init(KEY, x, False)
+    _, updates = model.apply(variables, x, True, mutable=["batch_stats"])
+    old = variables["batch_stats"]["conv0_0"]["bn"]["mean"]
+    new = updates["batch_stats"]["conv0_0"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
