@@ -1,0 +1,498 @@
+"""The MoveDepth forward/loss pipeline as pure functions.
+
+Functional re-design of the reference's Trainer.process_batch and the eval
+inference loop (reference: movedepth/trainer.py:297-442,445-468,491-724;
+movedepth/evaluate_depth.py:181-253). One jitted call contains the pose
+nets, mono path, both plane-sweep cost-volume passes, the fusion head and
+every loss -- XLA sees the whole step and fuses across module boundaries.
+
+Batch layout (NHWC, frames stacked on axis 1 in ``cfg.frame_ids`` order):
+  color      (B, F, H, W, 3)   raw frames at full resolution
+  color_aug  (B, F, H, W, 3)   jittered frames (== color at eval)
+  color_pyr_s (B, H/2^s, W/2^s, 3) frame-0 pyramid for smooth loss, s=1..3
+  K, inv_K   (B, 4, 4)         full-resolution intrinsics
+  relative_pose (B, F-1, 4, 4) optional: precomputed poses (load_pose mode)
+
+Scale-s intrinsics are derived in-graph (rows 0-1 divided by 2^s), matching
+the host-side per-scale K of the reference dataset
+(reference: datasets/mono_dataset.py:208-218).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from movedepth_tpu.config import Config
+from movedepth_tpu.ops.geometry import (
+    backproject,
+    disp_to_depth,
+    project,
+    transformation_from_parameters,
+)
+from movedepth_tpu.ops.sampling import grid_sample, resize_bilinear
+from movedepth_tpu.ops.losses import (
+    entropy,
+    masked_mean,
+    min_reprojection_with_automask,
+    reprojection_loss,
+    smooth_loss,
+)
+from movedepth_tpu.ops.costvolume import (
+    fuse_frames,
+    localmax,
+    plane_sweep_costvol,
+    reduce_cost_groups,
+    schedule_depth_bins,
+    schedule_depth_bins_z,
+)
+from movedepth_tpu.ops.upsample import convex_upsample
+from movedepth_tpu.ops.masking import random_image_mask
+
+
+# ----------------------------------------------------------------- utilities
+
+def scale_intrinsics(K, scale: int):
+    """K at pyramid level ``scale``: focal/principal rows divided by 2^s."""
+    if scale == 0:
+        return K
+    s = 1.0 / (2 ** scale)
+    return K.at[..., 0:2, :].multiply(s)
+
+
+def _apply(models, variables, name, *args, train=False):
+    """Run one sub-model; returns (outputs, batch_stats_updates or None)."""
+    model = models[name]
+    v = variables[name]
+    if train and "batch_stats" in v:
+        out, updates = model.apply(v, *args, True, mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+    if _takes_train_flag(name):
+        return model.apply(v, *args, False), None
+    return model.apply(v, *args), None
+
+
+_NO_TRAIN_FLAG = {"mono_depth", "pose", "up"}
+
+
+def _takes_train_flag(name: str) -> bool:
+    return name not in _NO_TRAIN_FLAG
+
+
+# -------------------------------------------------------------------- poses
+
+def predict_poses(models, variables, batch, cfg: Config, train: bool):
+    """Pairwise pose prediction (reference: movedepth/trainer.py:445-468).
+
+    Returns ({frame_id: cam_T_cam (B,4,4)}, relative_poses (B, M, 4, 4),
+    batch_stats updates). relative_poses are stop-gradiented copies for the
+    matching frames, like the reference's detached ``relative_pose`` inputs.
+    """
+    updates = {}
+    color_aug = batch["color_aug"]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    cam_T_cam = {}
+    for f_i in cfg.frame_ids[1:]:
+        if f_i < 0:
+            pair = jnp.concatenate(
+                [color_aug[:, fid_to_idx[f_i]], color_aug[:, 0]], axis=-1)
+        else:
+            pair = jnp.concatenate(
+                [color_aug[:, 0], color_aug[:, fid_to_idx[f_i]]], axis=-1)
+        feats, bs1 = _apply(models, variables, "pose_encoder", pair,
+                            train=train)
+        (aa, tr), _ = _apply(models, variables, "pose", [feats], train=train)
+        cam_T_cam[f_i] = transformation_from_parameters(
+            aa[:, 0, 0], tr[:, 0, 0], invert=(f_i < 0))
+        if bs1 is not None:
+            updates["pose_encoder"] = bs1
+    rel = jnp.stack(
+        [lax.stop_gradient(cam_T_cam[f]) for f in cfg.matching_ids[1:]],
+        axis=1,
+    )
+    return cam_T_cam, rel, updates
+
+
+def poses_from_batch(batch, cfg: Config):
+    """load_pose mode: poses come from the dataset (DVSO), not PoseNet."""
+    rel_all = batch["relative_pose"]  # (B, F-1, 4, 4) in frame_ids[1:] order
+    cam_T_cam = {f: rel_all[:, i] for i, f in enumerate(cfg.frame_ids[1:])}
+    midx = [cfg.frame_ids[1:].index(f) for f in cfg.matching_ids[1:]]
+    rel = jnp.stack([rel_all[:, i] for i in midx], axis=1)
+    return cam_T_cam, rel, {}
+
+
+# ---------------------------------------------------------------- MVS branch
+
+def mvs_depth_from_features(models, variables, ref_match_feat,
+                            src_match_feats, depth_bins, K_p, invK_p, rel,
+                            cfg: Config, train: bool,
+                            weight_axis: str = "group"):
+    """Cost volume -> regularizer -> softmax prob -> localmax depth.
+
+    (reference: movedepth/trainer.py:349-371 / evaluate_depth.py:225-245)
+    Returns (depth_mvs (B,h,w), cost_prob (B,D,h,w), batch_stats updates).
+    """
+    costs = []
+    for f_idx in range(len(cfg.matching_ids) - 1):
+        cv = plane_sweep_costvol(
+            ref_match_feat, src_match_feats[f_idx], K_p, invK_p, depth_bins,
+            rel[:, f_idx],
+        )
+        costs.append(reduce_cost_groups(cv, cfg.reg3d_c))
+    cor = fuse_frames(costs, weight_axis=weight_axis)  # (B, D, h, w, G)
+
+    logits, bs = _apply(models, variables, "reg3d", cor, train=train)
+    cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
+    depth_mvs = localmax(
+        cost_prob, cfg.norm_radius, cfg.num_depth_bins,
+        1.0 / depth_bins[:, -1], 1.0 / depth_bins[:, 0],
+    )
+    updates = {"reg3d": bs} if bs is not None else {}
+    return depth_mvs, cost_prob, updates
+
+
+def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
+    """Epoch-gated bin scheduler (reference: movedepth/trainer.py:333-346).
+
+    ``use_z_bins`` is a traced boolean (epoch > ztrans_start_epc); both
+    schedules are cheap elementwise math so we compute both and select,
+    keeping the train step retrace-free across epochs.
+    """
+    _, depth_prior = disp_to_depth(disp_prior, cfg.min_depth, cfg.max_depth)
+    plain = schedule_depth_bins(
+        depth_prior, cfg.num_depth_bins, cfg.depth_bin_fac, cfg.schedule_type)
+    z = cfg.z_scale * rel[:, 0, 2, 3]  # (B,) z-translation, first match frame
+    zbins = schedule_depth_bins_z(
+        depth_prior, cfg.num_depth_bins, cfg.depth_bin_fac,
+        z[:, None, None], cfg.schedule_type)
+    return jnp.where(use_z_bins, zbins, plain)
+
+
+# ------------------------------------------------------------------- warping
+
+def warp_frame(color_src, depth, K, inv_K, T):
+    """Backproject-project-sample one source frame at full resolution.
+
+    color_src: (B, H, W, 3); depth: (B, H, W). Border padding,
+    align_corners=True (reference: movedepth/trainer.py:501-507,519-529).
+    """
+    h, w = depth.shape[-2], depth.shape[-1]
+    pts = backproject(depth, inv_K)
+    grid = project(pts, K, T, h, w)
+    return grid_sample(color_src, grid, padding="border",
+                       align_corners=True), grid
+
+
+# ----------------------------------------------------------------- loss core
+
+def mono_losses(models_out_disps, batch, cam_T_cam, cfg: Config, rng):
+    """Per-scale min-reprojection + automask + smoothness.
+
+    (reference: movedepth/trainer.py:491-533 generate_images_pred and
+    :675-724 compute_losses). Returns (losses dict, full-res depth at
+    scale 0, warped color dict for logging).
+    """
+    color = batch["color"]
+    target = color[:, 0]
+    b, h, w = target.shape[0], target.shape[1], target.shape[2]
+    K0 = batch["K"]
+    invK0 = batch["inv_K"]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+
+    # identity reprojection losses are scale-independent: compute once
+    ident = jnp.concatenate(
+        [
+            reprojection_loss(color[:, fid_to_idx[f]], target, cfg.ssim_lw,
+                              not cfg.no_ssim)
+            for f in cfg.frame_ids[1:]
+        ],
+        axis=-1,
+    )
+
+    total = 0.0
+    losses: Dict[str, Any] = {}
+    depth_full_s0 = None
+    warped_log = {}
+    for scale in cfg.scales:
+        disp = models_out_disps[("disp", scale)]  # (B, hs, ws, 1)
+        disp_full = resize_bilinear(disp, (h, w), align_corners=False)
+        _, depth = disp_to_depth(disp_full[..., 0], cfg.min_depth,
+                                 cfg.max_depth)
+        if scale == 0:
+            depth_full_s0 = depth
+        reprojs = []
+        for f in cfg.frame_ids[1:]:
+            warped, _ = warp_frame(color[:, fid_to_idx[f]], depth, K0, invK0,
+                                   cam_T_cam[f])
+            if scale == 0:
+                warped_log[f] = warped
+            reprojs.append(
+                reprojection_loss(warped, target, cfg.ssim_lw,
+                                  not cfg.no_ssim))
+        reprojs = jnp.concatenate(reprojs, axis=-1)
+
+        if not cfg.disable_automasking:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, ident.shape[:-1] + (1,))
+            reproj, mask = min_reprojection_with_automask(reprojs, ident,
+                                                          noise)
+        else:
+            reproj = jnp.min(reprojs, axis=-1, keepdims=True)
+            mask = jnp.ones_like(reproj)
+        rl = masked_mean(reproj, mask)
+
+        color_s = target if scale == 0 else batch[f"color_pyr_{scale}"]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        sl = smooth_loss(disp / (mean_disp + 1e-7), color_s)
+        losses[f"mono_smooth_loss/{scale}"] = sl
+        scale_loss = rl + cfg.disparity_smoothness * sl / (2 ** scale)
+        losses[f"loss/{scale}"] = scale_loss
+        total = total + scale_loss
+
+    losses["mono_loss"] = total / cfg.num_scales
+    return losses, depth_full_s0, warped_log
+
+
+def mvs_reprojection_losses(depth_mvs_full, batch, cam_T_cam, cfg: Config):
+    """Full-resolution MVS reprojection loss at scale 0.
+
+    (reference: movedepth/trainer.py:495-507,621-673). Poses are detached.
+    Note the reference overwrites its automask with ones at trainer.py:647,
+    so the effective mask is all-ones unless conf/dist/geo masks are on.
+    """
+    color = batch["color"]
+    target = color[:, 0]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    reprojs = []
+    for f in cfg.frame_ids[1:]:
+        T = lax.stop_gradient(cam_T_cam[f])
+        warped, _ = warp_frame(color[:, fid_to_idx[f]], depth_mvs_full,
+                               batch["K"], batch["inv_K"], T)
+        reprojs.append(
+            reprojection_loss(warped, target, cfg.ssim_lw, not cfg.no_ssim))
+    reproj = jnp.min(jnp.concatenate(reprojs, axis=-1), axis=-1, keepdims=True)
+    mask = jnp.ones_like(reproj)
+    out = {"mvs_reproj_loss": masked_mean(reproj, mask)}
+    loss = out["mvs_reproj_loss"]
+    if cfg.mvs_smooth_loss:
+        d = depth_mvs_full[..., None]
+        mean_d = jnp.mean(d, axis=(1, 2), keepdims=True)
+        sl = smooth_loss(d / (mean_d + 1e-7), target)
+        out["mvs_smooth_loss/0"] = sl
+        loss = loss + cfg.disparity_smoothness * sl
+    out["mvs_loss"] = loss
+    return out
+
+
+def fuse_losses(fused_depth, batch, cam_T_cam, cfg: Config):
+    """Pure-L1 reprojection of the fused depth (ssim_lw=0).
+
+    (reference: movedepth/trainer.py:569-612). Only the uncertainty head
+    receives gradient -- both depths are detached by the caller.
+    """
+    color = batch["color"]
+    target = color[:, 0]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    reprojs = []
+    for f in cfg.frame_ids[1:]:
+        T = lax.stop_gradient(cam_T_cam[f])
+        warped, _ = warp_frame(color[:, fid_to_idx[f]], fused_depth,
+                               batch["K"], batch["inv_K"], T)
+        reprojs.append(
+            reprojection_loss(warped, target, ssim_lw=0.0,
+                              use_ssim=not cfg.no_ssim))
+    reproj = jnp.min(jnp.concatenate(reprojs, axis=-1), axis=-1, keepdims=True)
+    return {"fuse_reproj_loss": masked_mean(reproj, jnp.ones_like(reproj))}
+
+
+# ------------------------------------------------------------- forward (train)
+
+def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins):
+    """Full training forward: every model, both cost-volume passes, all
+    losses (reference: movedepth/trainer.py:297-442).
+
+    Returns (total_loss, (losses dict, outputs dict, batch_stats updates)).
+    """
+    updates: Dict[str, Any] = {}
+    color_aug = batch["color_aug"]
+    b = color_aug.shape[0]
+    h, w = cfg.height, cfg.width
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+
+    # 1. poses
+    if cfg.load_pose:
+        cam_T_cam, rel, upd = poses_from_batch(batch, cfg)
+    else:
+        cam_T_cam, rel, upd = predict_poses(models, variables, batch, cfg,
+                                            train=True)
+    updates.update(upd)
+
+    # 2. matching features (reference trainer.py:317-322)
+    (ref_match, ref_ctx), bs = _apply(models, variables, "mvs_encoder",
+                                      color_aug[:, 0], train=True)
+    if bs is not None:
+        updates["mvs_encoder"] = bs
+    src_matches = []
+    for f in cfg.matching_ids[1:]:
+        (sm, _), bs = _apply(models, variables, "mvs_encoder",
+                             color_aug[:, fid_to_idx[f]], train=True)
+        src_matches.append(sm)
+        if bs is not None:
+            updates["mvs_encoder"] = bs
+
+    # 3. mono path (reference trainer.py:325-326)
+    feats, bs = _apply(models, variables, "mono_encoder", color_aug[:, 0],
+                       train=True)
+    if bs is not None:
+        updates["mono_encoder"] = bs
+    disps, _ = _apply(models, variables, "mono_depth", feats)
+
+    # 4. mono losses
+    rng, sub = jax.random.split(rng)
+    losses, mono_depth0, warped_log = mono_losses(disps, batch, cam_T_cam,
+                                                  cfg, sub)
+
+    # 5. depth bins from the detached mono prior (trainer.py:333-346)
+    disp_prior = lax.stop_gradient(disps[("disp", cfg.prior_scale)][..., 0])
+    bins = compute_depth_bins(disp_prior, rel, use_z_bins, cfg)
+    K_p = scale_intrinsics(batch["K"], cfg.prior_scale)
+    invK_p = jnp.linalg.inv(K_p)
+
+    # 6. cost volume pass 1 + uncertainty (trainer.py:349-371)
+    depth_mvs, cost_prob, upd = mvs_depth_from_features(
+        models, variables, ref_match, src_matches, bins, K_p, invK_p, rel,
+        cfg, train=True)
+    updates.update(upd)
+    ent = entropy(cost_prob, axis=1, keepdims=True)  # (B, 1, h, w)
+    trust_mono, bs = _apply(models, variables, "mask_cnn",
+                            jnp.transpose(ent, (0, 2, 3, 1)), train=True)
+    if bs is not None:
+        updates["mask_cnn"] = bs
+
+    # 7. masked-augmentation consistency pass (trainer.py:374-403)
+    rng, sub = jax.random.split(rng)
+    masked_img, aug_mask = random_image_mask(sub, color_aug[:, 0],
+                                             (h // 3, w // 3))
+    (ref_aug, _), bs = _apply(models, variables, "mvs_encoder", masked_img,
+                              train=True)
+    if bs is not None:
+        updates["mvs_encoder"] = bs
+    depth_mvs_aug, _, upd = mvs_depth_from_features(
+        models, variables, ref_aug, src_matches, bins, K_p, invK_p, rel,
+        cfg, train=True)
+    updates.update(upd)
+    hw_low = depth_mvs_aug.shape[1:3]
+    low_mask = resize_bilinear(aug_mask, hw_low, align_corners=True)
+    low_mask = (jnp.sum(low_mask, axis=-1) > 0).astype(depth_mvs.dtype)
+    diff = jnp.abs(depth_mvs_aug - depth_mvs)
+    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    # NOTE: the reference multiplies by mask_lw twice (trainer.py:399-400),
+    # so the effective weight is mask_lw**2; reproduced for parity.
+    masked_loss = masked_mean(sl1, low_mask) * cfg.mask_lw ** 2
+    losses["masked_loss"] = masked_loss
+
+    # 8. upsample MVS depth to full res (trainer.py:406-409)
+    if cfg.convex_up:
+        up_mask, _ = _apply(models, variables, "up", ref_ctx)
+        depth_mvs_full = convex_upsample(depth_mvs, up_mask, cfg.prior_scale)
+    else:
+        depth_mvs_full = resize_bilinear(depth_mvs, (h, w),
+                                         align_corners=True)
+
+    # 9. fusion (trainer.py:411-416): only mask_cnn gets gradient
+    trust_full = resize_bilinear(trust_mono, (h, w), align_corners=True)
+    fused = (
+        (1.0 - trust_full[..., 0]) * lax.stop_gradient(depth_mvs_full)
+        + trust_full[..., 0] * lax.stop_gradient(mono_depth0)
+    )
+    losses.update(fuse_losses(fused, batch, cam_T_cam, cfg))
+
+    # 10. MVS reprojection losses (trainer.py:427-428)
+    losses.update(mvs_reprojection_losses(depth_mvs_full, batch, cam_T_cam,
+                                          cfg))
+
+    total = (losses["mono_loss"] + losses["masked_loss"]
+             + losses["mvs_loss"] + losses["fuse_reproj_loss"])
+    losses["loss"] = total
+
+    outputs = {
+        "disp_0": disps[("disp", 0)],
+        "depth_mono": mono_depth0,
+        "depth_mvs": depth_mvs_full,
+        "trust_mono_mask": trust_full,
+        "fused_depth": fused,
+        "warped": warped_log,
+        "cam_T_cam": cam_T_cam,
+    }
+    return total, (losses, outputs, updates)
+
+
+# --------------------------------------------------------------- inference
+
+def forward_infer(models, variables, batch, cfg: Config):
+    """Eval-protocol inference (reference: movedepth/evaluate_depth.py:181-253).
+
+    Uses raw (un-jittered) frames, always-z-guided bins, eval's depth-axis
+    frame weighting. Returns dict with mono scaled disparity and MVS depth.
+    Unlike the reference (which reads z from batch element 0 only --
+    evaluate_depth.py:218, valid only for batch_size 1), z is per-sample.
+    """
+    color = batch["color"]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+
+    feats, _ = _apply(models, variables, "mono_encoder", color[:, 0])
+    disps, _ = _apply(models, variables, "mono_depth", feats)
+
+    if cfg.load_pose or "relative_pose" in batch:
+        cam_T_cam, rel, _ = poses_from_batch(batch, cfg)
+    else:
+        eval_batch = dict(batch)
+        eval_batch["color_aug"] = color
+        cam_T_cam, rel, _ = predict_poses(models, variables, eval_batch, cfg,
+                                          train=False)
+
+    (ref_match, ref_ctx), _ = _apply(models, variables, "mvs_encoder",
+                                     color[:, 0])
+    src_matches = []
+    for f in cfg.matching_ids[1:]:
+        (sm, _), _ = _apply(models, variables, "mvs_encoder",
+                            color[:, fid_to_idx[f]])
+        src_matches.append(sm)
+
+    disp_prior = disps[("disp", cfg.prior_scale)][..., 0]
+    _, depth_prior = disp_to_depth(disp_prior, cfg.min_depth, cfg.max_depth)
+    z = cfg.z_scale * rel[:, 0, 2, 3]
+    bins = schedule_depth_bins_z(
+        depth_prior, cfg.num_depth_bins, cfg.depth_bin_fac, z[:, None, None],
+        cfg.schedule_type)
+
+    K_p = scale_intrinsics(batch["K"], cfg.prior_scale)
+    invK_p = jnp.linalg.inv(K_p)
+    depth_mvs, cost_prob, _ = mvs_depth_from_features(
+        models, variables, ref_match, src_matches, bins, K_p, invK_p, rel,
+        cfg, train=False, weight_axis="depth")
+
+    if cfg.convex_up:
+        up_mask, _ = _apply(models, variables, "up", ref_ctx)
+        depth_mvs = convex_upsample(depth_mvs, up_mask, cfg.prior_scale)
+    scaled_disp_mono, _ = disp_to_depth(disps[("disp", 0)][..., 0],
+                                        cfg.min_depth, cfg.max_depth)
+    return {
+        "disp_mono": scaled_disp_mono,       # (B, H, W) scaled disparity
+        "disp_mvs": 1.0 / depth_mvs,         # (B, H, W) or low-res if no up
+        "depth_mvs": depth_mvs,
+        "cost_prob": cost_prob,
+    }
+
+
+def forward_mono_infer(models, variables, batch, cfg: Config):
+    """Single-frame mono inference (BASELINE.json config 1)."""
+    feats, _ = _apply(models, variables, "mono_encoder", batch["color"][:, 0])
+    disps, _ = _apply(models, variables, "mono_depth", feats)
+    scaled_disp, depth = disp_to_depth(disps[("disp", 0)][..., 0],
+                                       cfg.min_depth, cfg.max_depth)
+    return {"disp_mono": scaled_disp, "depth_mono": depth}

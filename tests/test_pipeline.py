@@ -1,0 +1,116 @@
+"""End-to-end pipeline tests: inference forward shapes, train step runs,
+loss decreases, gradient isolation (detach semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from movedepth_tpu.config import Config
+from movedepth_tpu.models import build_models
+from movedepth_tpu.data.synthetic import make_batch
+from movedepth_tpu import pipeline as P
+from movedepth_tpu.train import state as S
+
+CFG = Config(height=64, width=96, batch_size=2, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = build_models(CFG)
+    variables = S.init_variables(models, CFG, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(CFG, 2))
+    return models, variables, batch
+
+
+def test_forward_infer_shapes(setup):
+    models, variables, batch = setup
+    out = P.forward_infer(models, variables, batch, CFG)
+    assert out["disp_mono"].shape == (2, 64, 96)
+    assert out["depth_mvs"].shape == (2, 64, 96)  # convex-up to full res
+    assert out["cost_prob"].shape == (2, 16, 16, 24)
+    d = np.asarray(out["depth_mvs"])
+    assert np.isfinite(d).all() and (d > 0).all()
+
+
+def test_forward_mono_infer(setup):
+    models, variables, batch = setup
+    out = P.forward_mono_infer(models, variables, batch, CFG)
+    assert out["depth_mono"].shape == (2, 64, 96)
+    v = np.asarray(out["depth_mono"])
+    assert (v >= CFG.min_depth - 1e-3).all() and (v <= CFG.max_depth + 1e-3).all()
+
+
+def test_forward_train_losses(setup):
+    models, variables, batch = setup
+    total, (losses, outputs, updates) = P.forward_train(
+        models, variables, batch, CFG, jax.random.PRNGKey(1),
+        use_z_bins=jnp.asarray(False))
+    assert np.isfinite(float(total))
+    for k in ("mono_loss", "mvs_loss", "fuse_reproj_loss", "masked_loss",
+              "loss"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+    # BN stats updated for every BN-bearing model
+    assert set(updates) >= {"mono_encoder", "mvs_encoder", "reg3d",
+                            "mask_cnn", "pose_encoder"}
+    assert outputs["depth_mvs"].shape == (2, 64, 96)
+
+
+def test_use_z_bins_changes_result(setup):
+    models, variables, batch = setup
+    _, (l0, _, _) = P.forward_train(models, variables, batch, CFG,
+                                    jax.random.PRNGKey(1),
+                                    use_z_bins=jnp.asarray(False))
+    _, (l1, _, _) = P.forward_train(models, variables, batch, CFG,
+                                    jax.random.PRNGKey(1),
+                                    use_z_bins=jnp.asarray(True))
+    assert float(l0["mvs_loss"]) != float(l1["mvs_loss"])
+
+
+def test_train_step_decreases_loss(setup):
+    models, _, batch = setup
+    state, tx = S.create_train_state(models, CFG, jax.random.PRNGKey(0),
+                                     steps_per_epoch=10)
+    step = S.make_train_step(models, CFG, tx)
+    rngs = jax.random.split(jax.random.PRNGKey(42), 6)
+    first = last = None
+    for i in range(6):
+        state, losses, _ = step(state, batch, rngs[i],
+                                jnp.asarray(False))
+        v = float(losses["loss"])
+        assert np.isfinite(v)
+        if first is None:
+            first = v
+        last = v
+    assert int(state.step) == 6
+    assert last < first  # same batch, loss must go down
+
+
+def test_fuse_loss_only_updates_mask_cnn(setup):
+    """The fusion loss must not backprop into the depth branches
+    (reference detaches both depths, trainer.py:413)."""
+    models, variables, batch = setup
+    params, stats = S.split_variables(variables)
+
+    def fuse_only(p):
+        v = S.combine_variables(p, stats)
+        _, (losses, _, _) = P.forward_train(models, v, batch, CFG,
+                                            jax.random.PRNGKey(1),
+                                            jnp.asarray(False))
+        return losses["fuse_reproj_loss"]
+
+    grads = jax.grad(fuse_only)(params)
+    g_mask = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["mask_cnn"], 0.0)
+    g_mono = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["mono_depth"], 0.0)
+    assert g_mask > 0.0
+    assert g_mono == 0.0
+
+
+def test_lr_schedule_steps():
+    cfg = Config(num_epochs=20, scheduler_step_size=15, learning_rate=2e-4)
+    sched = S.lr_schedule(cfg, steps_per_epoch=100, base_lr=2e-4)
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(1499)) == pytest.approx(2e-4)
+    assert float(sched(1500)) == pytest.approx(2e-5)
