@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from movedepth_tpu.ops.geometry import pixel_grid
-from movedepth_tpu.ops.sampling import _sample_one
+from movedepth_tpu.ops.sampling import _sample_one, stack_corners
 
 
 def _bin_positions(ndepth, schedule_type, dtype=jnp.float32):
@@ -117,8 +117,10 @@ def plane_sweep_costvol(ref_feat, src_feat, K, inv_K, depth_bins, T):
     grid = sweep_grid(depth_bins, K, inv_K, T)  # (B, D, H, W, 2)
 
     def one(src, g):  # src: (H, W, C); g: (D, H, W, 2)
+        corners = stack_corners(src)  # built once, reused by all D bins
         return jax.vmap(
-            lambda gg: _sample_one(src, gg[..., 0], gg[..., 1], "zeros", True)
+            lambda gg: _sample_one(src, gg[..., 0], gg[..., 1], "zeros", True,
+                                   corners=corners)
         )(g)
 
     warped = jax.vmap(one)(src_feat, grid)  # (B, D, H, W, C)

@@ -1,0 +1,87 @@
+"""Device mesh + GSPMD sharding -- the TPU replacement for DDP/NCCL.
+
+The reference's only parallelism is data parallelism over NCCL (DDP wrap,
+SyncBatchNorm, DistributedSampler; reference: movedepth/trainer.py:48-49,
+69-135,170-198, utils.py:51-87). Here the same strategy is expressed as a
+``jax.sharding.Mesh`` with a ``data`` axis:
+
+  * the batch is sharded over ``data`` -- XLA inserts the gradient
+    all-reduce over ICI automatically (no backward hooks);
+  * BatchNorm sees the global batch under GSPMD, so cross-replica (Sync)
+    BN statistics come for free;
+  * an optional ``model`` axis additionally shards the plane-sweep cost
+    volume's depth-hypothesis axis (a form of tensor parallelism the
+    reference cannot express), activated through sharding constraints in
+    the pipeline via :func:`constrain`.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, data: Optional[int] = None,
+              model: int = 1) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on ``data``."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Optional[Mesh]):
+    """Make ``mesh`` visible to :func:`constrain` inside traced code."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def constrain(x, *axes):
+    """Apply a sharding constraint if a mesh is active; identity otherwise.
+
+    ``axes`` name mesh axes per array dimension (None = replicated dim).
+    Axes whose mesh size is 1 still constrain validly.
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    spec = P(*[a if (a in mesh.axis_names) else None for a in axes])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batch pytrees."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded over ``data``."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate params/state across the mesh."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -51,6 +51,7 @@ from movedepth_tpu.ops.costvolume import (
 )
 from movedepth_tpu.ops.upsample import convex_upsample
 from movedepth_tpu.ops.masking import random_image_mask
+from movedepth_tpu.parallel.mesh import constrain
 
 
 # ----------------------------------------------------------------- utilities
@@ -144,6 +145,9 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
         )
         costs.append(reduce_cost_groups(cv, cfg.reg3d_c))
     cor = fuse_frames(costs, weight_axis=weight_axis)  # (B, D, h, w, G)
+    # Optional tensor parallelism: shard the depth-hypothesis axis over the
+    # mesh 'model' axis (no-op without an active mesh / with model=1).
+    cor = constrain(cor, "data", "model")
 
     logits, bs = _apply(models, variables, "reg3d", cor, train=train)
     cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)

@@ -36,32 +36,46 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_variables(models: Dict[str, Any], cfg: Config, rng) -> Dict:
-    """Initialize all model variables with dummy batches (shapes only)."""
+    """Initialize all model variables with dummy batches (shapes only).
+
+    The whole init runs under one jit so thousands of tiny parameter
+    initializers become a single compiled program instead of op-by-op
+    dispatches.
+    """
     h, w = cfg.height, cfg.width
     hp, wp = cfg.prior_hw
-    img = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = {}
-    keys = jax.random.split(rng, 8)
-    variables["mono_encoder"] = models["mono_encoder"].init(keys[0], img, False)
-    feats = models["mono_encoder"].apply(variables["mono_encoder"], img, False)
-    variables["mono_depth"] = models["mono_depth"].init(keys[1], feats)
-    if "pose_encoder" in models:
-        img6 = jnp.zeros((1, h, w, 6), jnp.float32)
-        variables["pose_encoder"] = models["pose_encoder"].init(
-            keys[2], img6, False)
-        pf = models["pose_encoder"].apply(variables["pose_encoder"], img6,
-                                          False)
-        variables["pose"] = models["pose"].init(keys[3], [pf])
-    variables["mvs_encoder"] = models["mvs_encoder"].init(keys[4], img, False)
-    match, ctx = models["mvs_encoder"].apply(variables["mvs_encoder"], img,
+
+    def _init(rng):
+        img = jnp.zeros((1, h, w, 3), jnp.float32)
+        variables = {}
+        keys = jax.random.split(rng, 8)
+        variables["mono_encoder"] = models["mono_encoder"].init(
+            keys[0], img, False)
+        feats = models["mono_encoder"].apply(variables["mono_encoder"], img,
                                              False)
-    vol = jnp.zeros((1, cfg.num_depth_bins, hp, wp, cfg.reg3d_c), jnp.float32)
-    variables["reg3d"] = models["reg3d"].init(keys[5], vol, False)
-    ent = jnp.zeros((1, hp, wp, 1), jnp.float32)
-    variables["mask_cnn"] = models["mask_cnn"].init(keys[6], ent, False)
-    if "up" in models:
-        variables["up"] = models["up"].init(keys[7], ctx)
-    return variables
+        variables["mono_depth"] = models["mono_depth"].init(keys[1], feats)
+        if "pose_encoder" in models:
+            img6 = jnp.zeros((1, h, w, 6), jnp.float32)
+            variables["pose_encoder"] = models["pose_encoder"].init(
+                keys[2], img6, False)
+            pf = models["pose_encoder"].apply(variables["pose_encoder"],
+                                              img6, False)
+            variables["pose"] = models["pose"].init(keys[3], [pf])
+        variables["mvs_encoder"] = models["mvs_encoder"].init(
+            keys[4], img, False)
+        match, ctx = models["mvs_encoder"].apply(variables["mvs_encoder"],
+                                                 img, False)
+        del match
+        vol = jnp.zeros((1, cfg.num_depth_bins, hp, wp, cfg.reg3d_c),
+                        jnp.float32)
+        variables["reg3d"] = models["reg3d"].init(keys[5], vol, False)
+        ent = jnp.zeros((1, hp, wp, 1), jnp.float32)
+        variables["mask_cnn"] = models["mask_cnn"].init(keys[6], ent, False)
+        if "up" in models:
+            variables["up"] = models["up"].init(keys[7], ctx)
+        return variables
+
+    return jax.jit(_init)(rng)
 
 
 def split_variables(variables: Dict) -> Tuple[Dict, Dict]:

@@ -23,6 +23,14 @@ import jax
 # env-derived default; override through the config API as well (safe until
 # the first backend use).
 jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np
 import pytest
