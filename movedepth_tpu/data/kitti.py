@@ -1,0 +1,277 @@
+"""Host-side KITTI datasets producing pipeline-layout samples.
+
+Re-design of the reference's torch Dataset stack
+(reference: datasets/mono_dataset.py:33-249, datasets/kitti_dataset.py:19-169)
+without torch/torchvision/pykitti:
+
+  * samples are plain numpy dicts in the pipeline's NHWC batch layout;
+  * randomness is an explicit ``np.random.Generator`` derived from
+    (seed, epoch, index) -- reproducible regardless of worker scheduling,
+    unlike torch's worker-seeded global RNG;
+  * the photometric jitter reproduces torchvision ColorJitter's sampling
+    (factors in [0.8,1.2], hue [-0.1,0.1], random op order; reference:
+    mono_dataset.py:67-80,220-223) with PIL/numpy ops;
+  * only the frame-0 color pyramid and scale-0 aug images are produced --
+    the trainer never reads the other combinations the reference loads
+    (trainer.py:318-326,501-532), so skipping them saves host time and
+    H2D bandwidth;
+  * intrinsics: one scale-0 K per sample; per-scale K is derived in-graph
+    (pipeline.scale_intrinsics), numerically identical to the reference's
+    per-scale host K for multiple-of-32 shapes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+from movedepth_tpu.config import Config
+from movedepth_tpu.data.kitti_utils import generate_depth_map, \
+    load_odometry_poses
+
+try:  # Pillow >= 10 removed the ANTIALIAS alias
+    _LANCZOS = Image.Resampling.LANCZOS
+    _NEAREST = Image.Resampling.NEAREST
+except AttributeError:  # pragma: no cover
+    _LANCZOS = Image.ANTIALIAS
+    _NEAREST = Image.NEAREST
+
+# normalized KITTI intrinsics (reference: datasets/kitti_dataset.py:26-29)
+K_NORM = np.array(
+    [[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+    dtype=np.float32,
+)
+FULL_RES = (1242, 375)  # (W, H), reference: kitti_dataset.py:31
+SIDE_MAP = {"2": 2, "3": 3, "l": 2, "r": 3}
+
+
+def readlines(path: str) -> List[str]:
+    with open(path) as f:
+        return f.read().splitlines()
+
+
+def color_jitter(rng: np.random.Generator):
+    """Sample a torchvision-ColorJitter-equivalent callable on PIL images."""
+    b = rng.uniform(0.8, 1.2)
+    c = rng.uniform(0.8, 1.2)
+    s = rng.uniform(0.8, 1.2)
+    h = rng.uniform(-0.1, 0.1)
+    ops = list(rng.permutation(4))
+
+    def hue_shift(img: Image.Image) -> Image.Image:
+        hsv = np.array(img.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(h * 255)) % 256
+        return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+    def apply(img: Image.Image) -> Image.Image:
+        for op in ops:
+            if op == 0:
+                img = ImageEnhance.Brightness(img).enhance(b)
+            elif op == 1:
+                img = ImageEnhance.Contrast(img).enhance(c)
+            elif op == 2:
+                img = ImageEnhance.Color(img).enhance(s)
+            else:
+                img = hue_shift(img)
+        return img
+
+    return apply
+
+
+def _to_float(img: Image.Image) -> np.ndarray:
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+class KITTIRawDataset:
+    """KITTI raw sequences; velodyne GT when present.
+
+    Produces per-sample dicts (no batch dim):
+      color (F, H, W, 3), color_aug (F, H, W, 3), color_pyr_{1,2,3},
+      K (4,4), inv_K (4,4) [, depth_gt (375, 1242)] [, relative_pose].
+    """
+
+    num_pyramid_scales = 4
+
+    def __init__(self, data_path: str, filenames: Sequence[str], height: int,
+                 width: int, frame_ids: Sequence[int], is_train: bool = False,
+                 img_ext: str = ".jpg", load_depth: Optional[bool] = None,
+                 load_pose: bool = False, seed: int = 1):
+        self.data_path = data_path
+        self.filenames = list(filenames)
+        self.height = height
+        self.width = width
+        self.frame_ids = tuple(frame_ids)
+        self.is_train = is_train
+        self.img_ext = img_ext
+        self.seed = seed
+        self.epoch = 0
+        self.load_pose = load_pose
+        self.load_depth = (self.check_depth() if load_depth is None
+                           else load_depth)
+        self._poses = {}
+        if load_pose:
+            self._load_dvso_poses()
+
+    # -- path helpers (reference: kitti_dataset.py:46-83) --------------------
+
+    def parse_line(self, index: int):
+        parts = self.filenames[index].split()
+        folder = parts[0]
+        frame_index = int(parts[1]) if len(parts) == 3 else 0
+        side = parts[2] if len(parts) == 3 else None
+        return folder, frame_index, side
+
+    def image_path(self, folder: str, frame_index: int, side: str) -> str:
+        fname = f"{frame_index:010d}{self.img_ext}"
+        return os.path.join(self.data_path, folder,
+                            f"image_0{SIDE_MAP[side]}", "data", fname)
+
+    def check_depth(self) -> bool:
+        if not self.filenames:
+            return False
+        folder, frame_index, _ = self.parse_line(0)
+        velo = os.path.join(self.data_path, folder, "velodyne_points",
+                            "data", f"{frame_index:010d}.bin")
+        return os.path.isfile(velo)
+
+    def get_depth(self, folder, frame_index, side, do_flip) -> np.ndarray:
+        calib = os.path.join(self.data_path, folder.split("/")[0])
+        velo = os.path.join(self.data_path, folder, "velodyne_points",
+                            "data", f"{int(frame_index):010d}.bin")
+        depth = generate_depth_map(calib, velo, SIDE_MAP[side])
+        import cv2
+        depth = cv2.resize(depth, FULL_RES, interpolation=cv2.INTER_NEAREST)
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth.astype(np.float32)
+
+    def _load_dvso_poses(self):
+        seqs = (["01", "02", "06", "08", "09", "10"] if self.is_train
+                else ["00", "04", "05", "07"])
+        for s in seqs:
+            path = os.path.join(self.data_path, "poses_dvso", f"{s}.txt")
+            if os.path.isfile(path):
+                self._poses[s] = load_odometry_poses(path)
+
+    # -- main -----------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index]))
+
+    def _load_frame(self, folder, frame_index, side, do_flip):
+        img = Image.open(
+            self.image_path(folder, frame_index, side)).convert("RGB")
+        if do_flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return img
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = self._rng(index)
+        do_aug = self.is_train and rng.random() > 0.5
+        do_flip = (self.is_train and rng.random() > 0.5
+                   and not self.load_pose)
+        folder, frame_index, side = self.parse_line(index)
+
+        frames: Dict[int, Image.Image] = {}
+        rel_poses: Dict[int, np.ndarray] = {}
+        for i in self.frame_ids:
+            try:
+                frames[i] = self._load_frame(folder, frame_index + i, side,
+                                             do_flip)
+                if self.load_pose:
+                    seq = f"{int(folder):02d}"
+                    poses = self._poses[seq]
+                    rel_poses[i] = (
+                        np.linalg.inv(poses[frame_index + i])
+                        @ poses[frame_index]
+                    ).astype(np.float32)
+            except (FileNotFoundError, OSError):
+                # missing neighbor: duplicate the adjacent frame
+                # (reference: mono_dataset.py:193-204)
+                if i > 0:
+                    frames[i] = frames[i - 1]
+                elif i < 0:
+                    frames[i] = frames[i + 1]
+                    if self.load_pose:
+                        rel_poses[i] = np.eye(4, dtype=np.float32)
+                else:
+                    raise
+
+        jitter = color_jitter(rng) if do_aug else (lambda im: im)
+
+        # chained Lanczos pyramid (reference: mono_dataset.py:104-126 resizes
+        # scale i from scale i-1)
+        color = []
+        color_aug = []
+        pyr: Dict[int, np.ndarray] = {}
+        for i in self.frame_ids:
+            img = frames[i].resize((self.width, self.height), _LANCZOS)
+            arr = _to_float(img)
+            color.append(arr)
+            # blank-frame guard (reference: mono_dataset.py:122-126)
+            color_aug.append(arr if arr.sum() == 0 else _to_float(jitter(img)))
+            if i == 0:
+                prev = img
+                for s in range(1, self.num_pyramid_scales):
+                    prev = prev.resize(
+                        (self.width // 2 ** s, self.height // 2 ** s),
+                        _LANCZOS)
+                    pyr[s] = _to_float(prev)
+
+        K = K_NORM.copy()
+        K[0, :] *= self.width
+        K[1, :] *= self.height
+
+        sample: Dict[str, np.ndarray] = {
+            "color": np.stack(color, 0),
+            "color_aug": np.stack(color_aug, 0),
+            "K": K,
+            "inv_K": np.linalg.inv(K).astype(np.float32),
+        }
+        for s, arr in pyr.items():
+            sample[f"color_pyr_{s}"] = arr
+        if self.load_depth:
+            sample["depth_gt"] = self.get_depth(folder, frame_index, side,
+                                                do_flip)
+        if self.load_pose:
+            sample["relative_pose"] = np.stack(
+                [rel_poses[i] for i in self.frame_ids[1:]], 0)
+        return sample
+
+
+class KITTIOdomDataset(KITTIRawDataset):
+    """KITTI odometry layout (reference: kitti_dataset.py:103-137)."""
+
+    def image_path(self, folder, frame_index, side):
+        fname = f"{frame_index:06d}{self.img_ext}"
+        return os.path.join(self.data_path,
+                            f"sequences/{int(folder):02d}",
+                            f"image_{SIDE_MAP[side]}", fname)
+
+    def check_depth(self) -> bool:
+        return False
+
+
+class KITTIDepthDataset(KITTIRawDataset):
+    """Annotated-GT variant (reference: kitti_dataset.py:139-169)."""
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        path = os.path.join(
+            self.data_path, folder,
+            f"proj_depth/groundtruth/image_0{SIDE_MAP[side]}",
+            f"{frame_index:010d}.png")
+        depth = Image.open(path).resize(FULL_RES, _NEAREST)
+        depth = np.asarray(depth, dtype=np.float32) / 256.0
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth

@@ -315,10 +315,13 @@ def fuse_losses(fused_depth, batch, cam_T_cam, cfg: Config):
 
 # ------------------------------------------------------------- forward (train)
 
-def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins):
+def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
+                  train: bool = True):
     """Full training forward: every model, both cost-volume passes, all
     losses (reference: movedepth/trainer.py:297-442).
 
+    ``train=False`` reproduces the reference's eval-mode validation pass
+    (reference: trainer.py:470-489): BN running stats, no stat updates.
     Returns (total_loss, (losses dict, outputs dict, batch_stats updates)).
     """
     updates: Dict[str, Any] = {}
@@ -332,25 +335,25 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins):
         cam_T_cam, rel, upd = poses_from_batch(batch, cfg)
     else:
         cam_T_cam, rel, upd = predict_poses(models, variables, batch, cfg,
-                                            train=True)
+                                            train=train)
     updates.update(upd)
 
     # 2. matching features (reference trainer.py:317-322)
     (ref_match, ref_ctx), bs = _apply(models, variables, "mvs_encoder",
-                                      color_aug[:, 0], train=True)
+                                      color_aug[:, 0], train=train)
     if bs is not None:
         updates["mvs_encoder"] = bs
     src_matches = []
     for f in cfg.matching_ids[1:]:
         (sm, _), bs = _apply(models, variables, "mvs_encoder",
-                             color_aug[:, fid_to_idx[f]], train=True)
+                             color_aug[:, fid_to_idx[f]], train=train)
         src_matches.append(sm)
         if bs is not None:
             updates["mvs_encoder"] = bs
 
     # 3. mono path (reference trainer.py:325-326)
     feats, bs = _apply(models, variables, "mono_encoder", color_aug[:, 0],
-                       train=True)
+                       train=train)
     if bs is not None:
         updates["mono_encoder"] = bs
     disps, _ = _apply(models, variables, "mono_depth", feats)
@@ -369,11 +372,11 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins):
     # 6. cost volume pass 1 + uncertainty (trainer.py:349-371)
     depth_mvs, cost_prob, upd = mvs_depth_from_features(
         models, variables, ref_match, src_matches, bins, K_p, invK_p, rel,
-        cfg, train=True)
+        cfg, train=train)
     updates.update(upd)
     ent = entropy(cost_prob, axis=1, keepdims=True)  # (B, 1, h, w)
     trust_mono, bs = _apply(models, variables, "mask_cnn",
-                            jnp.transpose(ent, (0, 2, 3, 1)), train=True)
+                            jnp.transpose(ent, (0, 2, 3, 1)), train=train)
     if bs is not None:
         updates["mask_cnn"] = bs
 
@@ -382,12 +385,12 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins):
     masked_img, aug_mask = random_image_mask(sub, color_aug[:, 0],
                                              (h // 3, w // 3))
     (ref_aug, _), bs = _apply(models, variables, "mvs_encoder", masked_img,
-                              train=True)
+                              train=train)
     if bs is not None:
         updates["mvs_encoder"] = bs
     depth_mvs_aug, _, upd = mvs_depth_from_features(
         models, variables, ref_aug, src_matches, bins, K_p, invK_p, rel,
-        cfg, train=True)
+        cfg, train=train)
     updates.update(upd)
     hw_low = depth_mvs_aug.shape[1:3]
     low_mask = resize_bilinear(aug_mask, hw_low, align_corners=True)
@@ -444,7 +447,12 @@ def forward_infer(models, variables, batch, cfg: Config):
     frame weighting. Returns dict with mono scaled disparity and MVS depth.
     Unlike the reference (which reads z from batch element 0 only --
     evaluate_depth.py:218, valid only for batch_size 1), z is per-sample.
+
+    The eval batch carries only the matching frames
+    (reference: evaluate_depth.py:92 ``frames_to_load = opt.matching_ids``),
+    so all frame indexing below runs over matching_ids.
     """
+    cfg = cfg.replace(frame_ids=cfg.matching_ids)
     color = batch["color"]
     fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 

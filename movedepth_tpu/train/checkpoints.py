@@ -1,0 +1,65 @@
+"""Orbax checkpointing + experiment-config persistence.
+
+Replaces the reference's per-model .pth dumps and filtered partial restore
+(reference: movedepth/trainer.py:796-880) with a single atomic Orbax
+checkpoint of the full TrainState (params + BN stats + Adam state + step)
+per epoch, plus the reference's ``opt.json``-style config record
+(trainer.py:796-805). Reference torch checkpoints load through
+train/torch_import.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from movedepth_tpu.config import Config
+
+
+def _ckpt_dir(log_path: str, epoch: Optional[int], step: Optional[int],
+              last: bool) -> str:
+    if last:
+        name = "last"
+    elif step is not None:
+        name = f"weights_{epoch}_{step}"
+    else:
+        name = f"weights_{epoch}"
+    return os.path.abspath(os.path.join(log_path, "models", name))
+
+
+def save_config(log_path: str, cfg: Config) -> str:
+    """opt.json parity (reference: trainer.py:796-805)."""
+    models_dir = os.path.join(log_path, "models")
+    os.makedirs(models_dir, exist_ok=True)
+    path = os.path.join(models_dir, "opt.json")
+    with open(path, "w") as f:
+        f.write(cfg.to_json())
+    return path
+
+
+def save_checkpoint(log_path: str, state: Any, epoch: Optional[int] = None,
+                    step: Optional[int] = None, last: bool = False) -> str:
+    path = _ckpt_dir(log_path, epoch, step, last)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def restore_checkpoint(path: str, state_template: Any) -> Any:
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), state_template)
+
+
+def restore_partial_params(path: str, params: dict, names) -> dict:
+    """Filtered partial restore of selected models' params+stats
+    (mono warm start; reference: trainer.py:833-844)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        full = ckptr.restore(os.path.abspath(path))
+    out = dict(params)
+    for n in names:
+        if n in full.get("params", {}):
+            out[n] = full["params"][n]
+    return out

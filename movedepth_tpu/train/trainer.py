@@ -1,0 +1,242 @@
+"""High-level training orchestrator (epoch loop, logging, checkpoints).
+
+Functional counterpart of the reference Trainer class
+(reference: movedepth/trainer.py:33-295). Differences by design:
+
+  * one jitted train step contains the whole forward/backward; parallelism
+    is a jax Mesh (parallel/mesh.py), not DDP process groups;
+  * checkpoints are atomic Orbax TrainStates (train/checkpoints.py), saved
+    every ``save_frequency`` epochs and always as ``last`` -- the
+    reference's epoch>15 save gate (trainer.py:255) is intentionally not
+    reproduced (it silently discards early checkpoints);
+  * randomness is a threaded jax PRNG key, seeded once.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from movedepth_tpu.config import Config, validate
+from movedepth_tpu.models import build_models
+from movedepth_tpu import pipeline as P
+from movedepth_tpu.data.kitti import (
+    KITTIRawDataset,
+    KITTIOdomDataset,
+    readlines,
+)
+from movedepth_tpu.data.loader import Loader
+from movedepth_tpu.parallel import mesh as M
+from movedepth_tpu.train import state as S
+from movedepth_tpu.train import checkpoints as C
+from movedepth_tpu.train.logging import MetricsLogger
+from movedepth_tpu.train.torch_import import load_reference_checkpoint
+
+DATASETS = {"kitti": KITTIRawDataset, "kitti_odom": KITTIOdomDataset}
+
+
+def garg_depth_metrics(depth_pred: np.ndarray, depth_gt: np.ndarray) -> Dict:
+    """During-training GT metrics with the garg crop at 375x1242
+    (reference: movedepth/trainer.py:726-757)."""
+    import cv2
+
+    names = ["de/abs_rel", "de/sq_rel", "de/rms", "de/log_rms", "da/a1",
+             "da/a2", "da/a3"]
+    accs = []
+    for i in range(depth_pred.shape[0]):
+        pred = cv2.resize(depth_pred[i], (1242, 375))
+        pred = np.clip(pred, 1e-3, 80)
+        gt = depth_gt[i]
+        mask = (gt > 1e-3) & (gt < 80)
+        crop = np.zeros_like(mask)
+        crop[153:371, 44:1197] = True
+        mask &= crop
+        if mask.sum() == 0:
+            continue
+        p, g = pred[mask], gt[mask]
+        p *= np.median(g) / np.median(p)
+        p = np.clip(p, 1e-3, 80)
+        thresh = np.maximum(g / p, p / g)
+        accs.append([
+            np.mean(np.abs(g - p) / g),
+            np.mean((g - p) ** 2 / g),
+            np.sqrt(np.mean((g - p) ** 2)),
+            np.sqrt(np.mean((np.log(g) - np.log(p)) ** 2)),
+            (thresh < 1.25).mean(),
+            (thresh < 1.25 ** 2).mean(),
+            (thresh < 1.25 ** 3).mean(),
+        ])
+    if not accs:
+        return {}
+    return dict(zip(names, np.mean(accs, 0)))
+
+
+class Trainer:
+    """End-to-end training driver."""
+
+    def __init__(self, cfg: Config, split_dir: Optional[str] = None,
+                 mesh=None, rank: int = 0, world_size: int = 1):
+        self.cfg = validate(cfg)
+        self.rank = rank
+        self.world_size = world_size
+        self.mesh = mesh
+        self.log_path = os.path.join(cfg.log_dir, cfg.model_name)
+
+        self.models = build_models(cfg)
+        self._device_batch = None
+
+        # DATA (reference: trainer.py:154-198)
+        dataset_cls = DATASETS[cfg.dataset]
+        split_dir = split_dir or os.path.join(
+            os.path.dirname(__file__), "..", "splits", cfg.split)
+        img_ext = ".png" if cfg.png else ".jpg"
+        train_files = readlines(os.path.join(split_dir, "train_files.txt"))
+        val_files = readlines(os.path.join(split_dir, "val_files.txt"))
+        self.train_dataset = dataset_cls(
+            cfg.data_path, train_files, cfg.height, cfg.width, cfg.frame_ids,
+            is_train=True, img_ext=img_ext, load_pose=cfg.load_pose,
+            seed=cfg.seed)
+        self.val_dataset = dataset_cls(
+            cfg.data_path, val_files, cfg.height, cfg.width, cfg.frame_ids,
+            is_train=False, img_ext=img_ext, load_pose=cfg.load_pose,
+            seed=cfg.seed)
+        self.train_loader = Loader(
+            self.train_dataset, cfg.batch_size, rank, world_size,
+            shuffle=True, drop_last=True, num_workers=cfg.num_workers,
+            seed=cfg.seed)
+        self.val_loader = Loader(
+            self.val_dataset, cfg.batch_size, rank, world_size,
+            shuffle=False, drop_last=False, num_workers=4, seed=cfg.seed)
+
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.num_total_steps = steps_per_epoch * cfg.num_epochs
+
+        # STATE + OPTIMIZER
+        self.state, self.tx = S.create_train_state(
+            self.models, cfg, jax.random.PRNGKey(cfg.seed), steps_per_epoch)
+        self.train_step = S.make_train_step(self.models, cfg, self.tx)
+        self._val_forward = jax.jit(
+            lambda v, b, rng, uz: P.forward_train(
+                self.models, v, b, cfg, rng, uz, train=False)[1][:2])
+
+        # LOADING (reference: trainer.py:143-147)
+        if cfg.load_weights_folder:
+            self.load_weights(cfg.load_weights_folder)
+        if cfg.mono_weights_folder:
+            self.load_mono_weights(cfg.mono_weights_folder)
+
+        self.logger = MetricsLogger(self.log_path, rank, cfg.batch_size,
+                                    self.num_total_steps)
+        if rank == 0:
+            C.save_config(self.log_path, cfg)
+
+        self.epoch = 0
+        self.step = 0
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._val_iter = None
+
+    # ------------------------------------------------------------- loading
+
+    def load_weights(self, folder: str):
+        """Resume: Orbax TrainState dir, or reference torch .pth folder."""
+        if any(f.endswith(".pth") for f in os.listdir(folder)):
+            converted = load_reference_checkpoint(folder, self.cfg)
+            params = dict(self.state.params)
+            stats = dict(self.state.batch_stats)
+            for name, variables in converted.items():
+                params[name] = variables["params"]
+                if "batch_stats" in variables:
+                    stats[name] = variables["batch_stats"]
+            self.state = self.state.replace(params=params, batch_stats=stats)
+        else:
+            self.state = C.restore_checkpoint(folder, self.state)
+
+    def load_mono_weights(self, folder: str):
+        """Warm-start the mono+pose branch (reference: trainer.py:833-844)."""
+        names = ("pose_encoder", "pose", "mono_encoder", "mono_depth")
+        if any(f.endswith(".pth") for f in os.listdir(folder)):
+            cfg = self.cfg.replace(models_to_load=names)
+            converted = load_reference_checkpoint(folder, cfg)
+            params = dict(self.state.params)
+            stats = dict(self.state.batch_stats)
+            for name, variables in converted.items():
+                params[name] = variables["params"]
+                if "batch_stats" in variables:
+                    stats[name] = variables["batch_stats"]
+            self.state = self.state.replace(params=params, batch_stats=stats)
+        else:
+            params = C.restore_partial_params(folder, self.state.params,
+                                              names)
+            self.state = self.state.replace(params=params)
+
+    # ------------------------------------------------------------- running
+
+    def _put(self, batch):
+        device_batch = {k: v for k, v in batch.items() if k != "depth_gt"}
+        device_batch = jax.tree.map(jnp.asarray, device_batch)
+        if self.mesh is not None:
+            device_batch = M.shard_batch(device_batch, self.mesh)
+        return device_batch
+
+    def run_epoch(self):
+        cfg = self.cfg
+        use_z = jnp.asarray(self.epoch > cfg.ztrans_start_epc)
+        for batch_idx, batch in enumerate(self.train_loader.epoch(self.epoch)):
+            t0 = time.time()
+            self.rng, sub = jax.random.split(self.rng)
+            device_batch = self._put(batch)
+            self.state, losses, outputs = self.train_step(
+                self.state, device_batch, sub, use_z)
+
+            early = (batch_idx % max(1, cfg.log_frequency // self.world_size)
+                     == 0 and self.step < 2000)
+            late = self.step % 2000 == 0
+            if early or late:
+                loss_val = float(losses["loss"])
+                self.logger.log_time(self.epoch, batch_idx, self.step,
+                                     time.time() - t0, loss_val)
+                host_losses = {k: float(v) for k, v in losses.items()}
+                if "depth_gt" in batch:
+                    host_losses.update(garg_depth_metrics(
+                        np.asarray(outputs["depth_mono"]),
+                        batch["depth_gt"]))
+                self.logger.log_scalars("train", host_losses, self.step)
+                self.logger.log_images("train", batch, outputs, self.step)
+                self.validate(use_z)
+            self.step += 1
+
+    def validate(self, use_z):
+        """Single val minibatch (reference: trainer.py:470-489)."""
+        if self._val_iter is None:
+            self._val_iter = self.val_loader.epoch(self.epoch)
+        try:
+            batch = next(self._val_iter)
+        except StopIteration:
+            self._val_iter = self.val_loader.epoch(self.epoch)
+            batch = next(self._val_iter)
+        self.rng, sub = jax.random.split(self.rng)
+        variables = S.combine_variables(self.state.params,
+                                        self.state.batch_stats)
+        losses, outputs = self._val_forward(variables, self._put(batch), sub,
+                                            use_z)
+        host_losses = {k: float(v) for k, v in losses.items()}
+        if "depth_gt" in batch:
+            host_losses.update(garg_depth_metrics(
+                np.asarray(outputs["depth_mono"]), batch["depth_gt"]))
+        self.logger.log_scalars("val", host_losses, self.step)
+        self.logger.log_images("val", batch, outputs, self.step)
+
+    def train(self):
+        cfg = self.cfg
+        for self.epoch in range(cfg.num_epochs):
+            self.run_epoch()
+            if self.rank == 0 and (self.epoch + 1) % cfg.save_frequency == 0:
+                C.save_checkpoint(self.log_path, self.state, self.epoch)
+        if self.rank == 0:
+            C.save_checkpoint(self.log_path, self.state, last=True)
+        self.logger.close()
