@@ -104,6 +104,8 @@ class Config:
     num_workers: int = 12
     compute_dtype: str = "bfloat16"  # dtype of conv/matmul compute on TPU
     param_dtype: str = "float32"
+    # fused Pallas plane-sweep warp (inference path; auto-disabled off-TPU)
+    pallas_warp: bool = True
 
     # ---- loading (reference: options.py:242-251) ----
     load_weights_folder: Optional[str] = None

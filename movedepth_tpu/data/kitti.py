@@ -98,8 +98,18 @@ class KITTIRawDataset:
     def __init__(self, data_path: str, filenames: Sequence[str], height: int,
                  width: int, frame_ids: Sequence[int], is_train: bool = False,
                  img_ext: str = ".jpg", load_depth: Optional[bool] = None,
-                 load_pose: bool = False, seed: int = 1):
+                 load_pose: bool = False, seed: int = 1,
+                 native: bool = False):
         self.data_path = data_path
+        # native C++ decode+pyramid path (native/loader.cpp): ~1.5x faster
+        # per host thread and scales with cores; float Lanczos (PIL
+        # quantizes pyramid intermediates to uint8, agreement ~0.002).
+        # Jittered samples still go through PIL (jitter operates on images).
+        self.native = native
+        if native:
+            from movedepth_tpu.data import native_loader
+            if not native_loader.available():
+                self.native = False
         self.filenames = list(filenames)
         self.height = height
         self.width = width
@@ -182,6 +192,12 @@ class KITTIRawDataset:
                    and not self.load_pose)
         folder, frame_index, side = self.parse_line(index)
 
+        if self.native and not do_aug:
+            sample = self._getitem_native(index, folder, frame_index, side,
+                                          do_flip)
+            if sample is not None:
+                return sample
+
         frames: Dict[int, Image.Image] = {}
         rel_poses: Dict[int, np.ndarray] = {}
         for i in self.frame_ids:
@@ -246,6 +262,52 @@ class KITTIRawDataset:
         if self.load_pose:
             sample["relative_pose"] = np.stack(
                 [rel_poses[i] for i in self.frame_ids[1:]], 0)
+        return sample
+
+
+    def _getitem_native(self, index, folder, frame_index, side, do_flip):
+        """C++ decode+pyramid fast path (no-jitter samples only)."""
+        from movedepth_tpu.data import native_loader as NL
+
+        paths = []
+        for i in self.frame_ids:
+            p = self.image_path(folder, frame_index + i, side)
+            if not os.path.isfile(p):  # neighbor-duplication fallback
+                j = i - 1 if i > 0 else i + 1
+                p = self.image_path(folder, frame_index + j, side)
+                if i == 0 or not os.path.isfile(p):
+                    return None  # fall back to the PIL path / its errors
+            paths.append(p)
+        flips = [do_flip] * len(paths)
+        scale0 = NL.load_batch(paths, self.width, self.height, 1, flips)[0]
+        pyr = NL.load_batch(paths[:1], self.width, self.height,
+                            self.num_pyramid_scales, flips[:1])
+
+        K = K_NORM.copy()
+        K[0, :] *= self.width
+        K[1, :] *= self.height
+        sample = {
+            "color": scale0,
+            "color_aug": scale0,
+            "K": K,
+            "inv_K": np.linalg.inv(K).astype(np.float32),
+        }
+        for s in range(1, self.num_pyramid_scales):
+            sample[f"color_pyr_{s}"] = pyr[s][0]
+        if self.load_depth:
+            sample["depth_gt"] = self.get_depth(folder, frame_index, side,
+                                                do_flip)
+        if self.load_pose:
+            seq = f"{int(folder):02d}"
+            poses = self._poses[seq]
+            rel = []
+            for i in self.frame_ids[1:]:
+                try:
+                    rel.append((np.linalg.inv(poses[frame_index + i])
+                                @ poses[frame_index]).astype(np.float32))
+                except IndexError:
+                    rel.append(np.eye(4, dtype=np.float32))
+            sample["relative_pose"] = np.stack(rel, 0)
         return sample
 
 

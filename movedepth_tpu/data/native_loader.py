@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ loader core (native/loader.cpp).
+
+Builds the shared library on first use (g++, libjpeg/libpng) and exposes
+batch decode + chained-Lanczos-pyramid. Falls back cleanly when the
+toolchain is unavailable -- callers check :func:`available`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libmdloader.so"))
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libmdloader.so"],
+            cwd=os.path.abspath(_NATIVE_DIR), check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) and not _build():
+            _failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _failed = True
+            return None
+        lib.md_load_batch.restype = ctypes.c_int
+        lib.md_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int,
+        ]
+        lib.md_probe.restype = ctypes.c_int
+        lib.md_probe.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+        lib.md_decode.restype = ctypes.c_int
+        lib.md_decode.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int, ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_batch(paths: Sequence[str], width: int, height: int,
+               num_scales: int = 1, flips: Optional[Sequence[bool]] = None,
+               num_threads: int = 8) -> List[np.ndarray]:
+    """Decode+pyramid a batch of images in native threads.
+
+    Returns [scale_0 (N, H, W, 3) float32, scale_1 (N, H/2, W/2, 3), ...].
+    Failed decodes come back as zero images (the caller applies the
+    reference's neighbor-duplication fallback at the sample level).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if flips is None:
+        c_flips = None
+    else:
+        c_flips = (ctypes.c_uint8 * n)(*[1 if f else 0 for f in flips])
+    outs = []
+    c_outs = (ctypes.POINTER(ctypes.c_float) * num_scales)()
+    for s in range(num_scales):
+        arr = np.empty((n, height >> s, width >> s, 3), np.float32)
+        outs.append(arr)
+        c_outs[s] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.md_load_batch(c_paths, n, c_flips, width, height, num_scales,
+                      c_outs, num_threads)
+    return outs
+
+
+def decode(path: str) -> Optional[np.ndarray]:
+    """Decode one image at native resolution -> (H, W, 3) float32 or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.md_probe(path.encode(), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.float32)
+    if lib.md_decode(path.encode(),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                     w.value, h.value):
+        return None
+    return out

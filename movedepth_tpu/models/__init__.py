@@ -7,7 +7,11 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from movedepth_tpu.config import Config
-from movedepth_tpu.models.resnet import ResNetEncoder, encoder_channels
+from movedepth_tpu.models.resnet import (
+    ContextEncoder,
+    ResNetEncoder,
+    encoder_channels,
+)
 from movedepth_tpu.models.depth_decoder import DepthDecoder, UncertNet
 from movedepth_tpu.models.pose_decoder import PoseDecoder, PoseCNN
 from movedepth_tpu.models.fpn import (
@@ -15,13 +19,24 @@ from movedepth_tpu.models.fpn import (
     FPN3cas,
     Reg3D,
     Reg2D,
+    DCNConv2d,
     ConvexUpsampleHead,
+)
+from movedepth_tpu.models.decoders_extra import (
+    MPMDecoder,
+    DepthDecoder3D,
+    DepthDecoderBin,
+    DepthDecoder3Head,
+    ContextAdjustmentLayer,
+    ResBlockWDSR,
 )
 
 __all__ = [
-    "ResNetEncoder", "encoder_channels", "DepthDecoder", "UncertNet",
-    "PoseDecoder", "PoseCNN", "FPN4", "FPN3cas", "Reg3D", "Reg2D",
-    "ConvexUpsampleHead", "build_models",
+    "ResNetEncoder", "ContextEncoder", "encoder_channels", "DepthDecoder",
+    "UncertNet", "PoseDecoder", "PoseCNN", "FPN4", "FPN3cas", "Reg3D",
+    "Reg2D", "DCNConv2d", "ConvexUpsampleHead", "MPMDecoder",
+    "DepthDecoder3D", "DepthDecoderBin", "DepthDecoder3Head",
+    "ContextAdjustmentLayer", "ResBlockWDSR", "build_models",
 ]
 
 
@@ -44,7 +59,7 @@ def build_models(cfg: Config, dtype: Any = None,
                                    dtype=dtype),
         "mask_cnn": UncertNet(dtype=dtype, axis_name=axis_name),
         "mvs_encoder": FPN4(base_channels=8, scale=cfg.prior_scale,
-                            dtype=dtype, axis_name=axis_name),
+                            dcn=cfg.dcn, dtype=dtype, axis_name=axis_name),
     }
     if not cfg.load_pose:
         models["pose_encoder"] = ResNetEncoder(

@@ -38,6 +38,7 @@ class FPN4(nn.Module):
 
     base_channels: int = 8
     scale: int = 2
+    dcn: bool = False
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -78,6 +79,16 @@ class FPN4(nn.Module):
         out_ch = {2: bc * 4, 1: bc * 2, 0: bc}[self.scale]
         out = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name="out")(intra)
+        if self.dcn:
+            # optional deformable refinement (reference: :342-347,382-383)
+            out = DCNConv2d(out_ch, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="out_dcn_0")(out, train)
+            out = DCNConv2d(out_ch, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="out_dcn_1")(out, train)
+            out = DCNConv2d(out_ch, relu=False, use_bn=False,
+                            dtype=self.dtype, name="out_dcn_2")(out, train)
         ctx = {2: conv2, 1: conv1, 0: conv0}[self.scale]
         return out, ctx
 
@@ -212,6 +223,44 @@ class Reg2D(nn.Module):
         y = nn.Conv(1, (1, 1, 1), use_bias=True, dtype=self.dtype,
                     name="prob")(y)
         return y[..., 0]
+
+
+class DCNConv2d(nn.Module):
+    """Modulated deformable conv block: offsets/gates predicted by a plain
+    conv, applied via ops.deform.deform_conv2d, then BN + ReLU.
+
+    TPU-native equivalent of the reference's optional CUDA DeformConvPack
+    (reference: networks/resnet_encoder.py:282-303; --dcn, off by default).
+    """
+
+    features: int
+    kernel_size: int = 3
+    relu: bool = True
+    use_bn: bool = True
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from movedepth_tpu.ops.deform import deform_conv2d
+
+        k = self.kernel_size
+        offmod = nn.Conv(3 * k * k, (k, k), padding=((k // 2, k // 2),) * 2,
+                         kernel_init=nn.initializers.zeros,
+                         dtype=self.dtype, name="conv_offset")(x)
+        offsets = offmod[..., : 2 * k * k]
+        gates = nn.sigmoid(offmod[..., 2 * k * k:])
+        weight = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features))
+        y = deform_conv2d(x, offsets, gates, weight, kernel_size=k)
+        if self.use_bn:
+            y = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.axis_name, name="bn")(
+                y, use_running_average=not train)
+        if self.relu:
+            y = nn.relu(y)
+        return y
 
 
 class ConvexUpsampleHead(nn.Module):

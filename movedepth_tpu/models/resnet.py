@@ -103,6 +103,39 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class ContextEncoder(nn.Module):
+    """Truncated ResNet (stem + stage 1 only) -> stride-4 feature.
+
+    (reference: networks/resnet_encoder.py:124-172; experimental surface)
+    """
+
+    arch: int = 18
+    num_input_images: int = 1
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, layers = RESNET_BLOCKS[self.arch]
+        block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        expansion = 1 if block_kind == "basic" else 4
+        x = (x - 0.45) / 0.225
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=_KAIMING, dtype=self.dtype,
+                    name="conv1")(x)
+        x = torch_batchnorm(self.dtype, self.axis_name, name="bn1")(
+            x, use_running_average=not train)
+        x = max_pool_3x3_s2(nn.relu(x))
+        in_planes = 64
+        for b in range(layers[0]):
+            need_ds = in_planes != 64 * expansion
+            x = block_cls(64, strides=1, downsample=need_ds,
+                          dtype=self.dtype, axis_name=self.axis_name,
+                          name=f"layer1_{b}")(x, train)
+            in_planes = 64 * expansion
+        return x
+
+
 class ResNetEncoder(nn.Module):
     """5-level feature pyramid encoder.
 

@@ -54,6 +54,41 @@ def _spread_bins(lo, hi, ndepth, schedule_type):
     return lo + (hi - lo) * itv
 
 
+def schedule_depth_bins_v1(disp, ndepth, scale_fac, min_depth, max_depth,
+                           schedule_type="inverse", is_depth=False,
+                           geo_mask=None, damper=1.0, z_trans=None):
+    """v1 depth-range scheduler family, superseded by the v2 functions below
+    but kept for capability parity (reference: movedepth/layers.py:217-254
+    schedule_depth_range, :286-327 _geo, :330-367 _z).
+
+    Builds a band of width ``itv * fac * D`` around the disp-derived center
+    where itv = (per-image max - min) / 96, clamped into [min, max]; the
+    geo variant damps the band where ``geo_mask`` holds, the z variant
+    scales it by ``z_trans`` (B,).
+    """
+    disp = lax.stop_gradient(disp)
+    if not is_depth:
+        scaled = 1.0 / max_depth + disp * (1.0 / min_depth - 1.0 / max_depth)
+        center = 1.0 / scaled
+    else:
+        center = disp
+    b = center.shape[0]
+    flat = center.reshape(b, -1)
+    dmax = flat.max(axis=1)[:, None, None]
+    dmin = flat.min(axis=1)[:, None, None]
+    itv = (dmax - dmin) / 96.0  # reference hardcodes 96 (layers.py:228)
+    fac = jnp.asarray(scale_fac, center.dtype)
+    fac = jnp.broadcast_to(fac, center.shape)
+    if geo_mask is not None:
+        fac = jnp.where(geo_mask, fac / damper, fac)
+    half = itv * fac * ndepth / 2.0
+    if z_trans is not None:
+        half = half * z_trans[:, None, None]
+    lo = jnp.maximum(center - half, dmin)
+    hi = jnp.minimum(center + half, dmax)
+    return _spread_bins(lo, hi, ndepth, schedule_type)
+
+
 def schedule_depth_bins(prior_depth, ndepth, scale_fac, schedule_type="inverse"):
     """Depth candidates around the mono prior: [prior/(1+fac), prior*(1+fac)].
 

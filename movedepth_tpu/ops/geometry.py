@@ -98,6 +98,40 @@ def transformation_from_parameters(axisangle, translation, invert=False):
     return T @ R
 
 
+def transformation_from_parameters_v2(axisangle, translation, invert=False):
+    """Per-pixel transform variant: translation is a dense (B, H, W, 3)
+    field (axisangle stays global), -> (B, H, W, 4, 4).
+
+    Capability parity with the reference's experimental per-pixel T
+    (reference: movedepth/layers.py:431-461; pairs with project_per_pixel).
+    """
+    R = rot_from_axisangle(axisangle)[:, None, None]  # (B, 1, 1, 4, 4)
+    t = translation
+    if invert:
+        R = jnp.swapaxes(R, -1, -2)
+        t = -t
+    T = get_translation_matrix(t)  # (B, H, W, 4, 4)
+    if invert:
+        return R @ T
+    return T @ R
+
+
+def project_per_pixel(points, K, T, eps=1e-7):
+    """Project with per-pixel transforms T (B, H, W, 4, 4).
+
+    points: (B, 4, H*W); K: (B, 4, 4). Returns normalized (B, H, W, 2),
+    matching Project3D's 5-D branch (reference: movedepth/layers.py:601-621).
+    """
+    b, h, w = T.shape[0], T.shape[1], T.shape[2]
+    P = (K[:, None, None] @ T)[..., :3, :]  # (B, H, W, 3, 4)
+    pts = jnp.swapaxes(points, -1, -2).reshape(b, h, w, 4, 1)
+    cam = (P @ pts)[..., 0]  # (B, H, W, 3)
+    xy = cam[..., :2] / (cam[..., 2:3] + eps)
+    x = xy[..., 0] / (w - 1)
+    y = xy[..., 1] / (h - 1)
+    return (jnp.stack([x, y], axis=-1) - 0.5) * 2.0
+
+
 def pixel_grid(height, width, dtype=jnp.float32):
     """Homogeneous pixel grid (3, H*W) with rows (x, y, 1).
 

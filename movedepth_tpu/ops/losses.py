@@ -110,3 +110,24 @@ def min_reprojection_with_automask(reproj_losses, identity_losses, noise):
 def masked_mean(x, mask, eps=1e-7):
     """sum(x * mask) / (sum(mask) + eps) (reference: trainer.py:708-709)."""
     return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
+
+
+def mvs_ssim(x, y, mask):
+    """Masked SSIM without reflection padding (VALID 3x3 windows).
+
+    Returns (masked dissimilarity map, pooled mask), both (B, H-2, W-2, C)/
+    (B, H-2, W-2, 1)-shaped like the reference's MVS_SSIM
+    (reference: movedepth/layers.py:679-715; experimental surface, unused
+    by the shipped training path).
+    """
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    mu_x = _avg_pool3(x)
+    mu_y = _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+    n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    d = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    ssim_mask = _avg_pool3(mask.astype(x.dtype))
+    return ssim_mask * jnp.clip((1 - n / d) / 2, 0.0, 1.0), ssim_mask

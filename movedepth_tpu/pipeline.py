@@ -128,6 +128,12 @@ def poses_from_batch(batch, cfg: Config):
 
 # ---------------------------------------------------------------- MVS branch
 
+def _use_pallas_warp(cfg: Config, train: bool) -> bool:
+    """The fused Pallas warp serves the inference path on TPU; training
+    keeps the XLA gather formulation until the custom VJP lands."""
+    return cfg.pallas_warp and not train and jax.default_backend() == "tpu"
+
+
 def mvs_depth_from_features(models, variables, ref_match_feat,
                             src_match_feats, depth_bins, K_p, invK_p, rel,
                             cfg: Config, train: bool,
@@ -137,12 +143,26 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
     (reference: movedepth/trainer.py:349-371 / evaluate_depth.py:225-245)
     Returns (depth_mvs (B,h,w), cost_prob (B,D,h,w), batch_stats updates).
     """
+    use_pallas = _use_pallas_warp(cfg, train)
+    if use_pallas:
+        from movedepth_tpu.ops.costvolume import sweep_grid
+        from movedepth_tpu.ops.pallas.sweep_warp import (
+            grid_to_pixel,
+            sweep_warp,
+        )
     costs = []
     for f_idx in range(len(cfg.matching_ids) - 1):
-        cv = plane_sweep_costvol(
-            ref_match_feat, src_match_feats[f_idx], K_p, invK_p, depth_bins,
-            rel[:, f_idx],
-        )
+        if use_pallas:
+            h, w = depth_bins.shape[-2], depth_bins.shape[-1]
+            grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
+            sx, sy = grid_to_pixel(grid, h, w)
+            warped = sweep_warp(src_match_feats[f_idx], sx, sy)
+            cv = warped * ref_match_feat[:, None]
+        else:
+            cv = plane_sweep_costvol(
+                ref_match_feat, src_match_feats[f_idx], K_p, invK_p,
+                depth_bins, rel[:, f_idx],
+            )
         costs.append(reduce_cost_groups(cv, cfg.reg3d_c))
     cor = fuse_frames(costs, weight_axis=weight_axis)  # (B, D, h, w, G)
     # Optional tensor parallelism: shard the depth-hypothesis axis over the
@@ -467,13 +487,17 @@ def forward_infer(models, variables, batch, cfg: Config):
         cam_T_cam, rel, _ = predict_poses(models, variables, eval_batch, cfg,
                                           train=False)
 
-    (ref_match, ref_ctx), _ = _apply(models, variables, "mvs_encoder",
-                                     color[:, 0])
-    src_matches = []
-    for f in cfg.matching_ids[1:]:
-        (sm, _), _ = _apply(models, variables, "mvs_encoder",
-                            color[:, fid_to_idx[f]])
-        src_matches.append(sm)
+    # one FPN call over all frames (exact at inference: BN running stats)
+    b = color.shape[0]
+    m = len(cfg.matching_ids)
+    stacked = color[:, [fid_to_idx[f] for f in cfg.matching_ids]]
+    stacked = stacked.reshape((b * m,) + color.shape[2:])
+    (match_all, ctx_all), _ = _apply(models, variables, "mvs_encoder",
+                                     stacked)
+    match_all = match_all.reshape((b, m) + match_all.shape[1:])
+    ref_match = match_all[:, 0]
+    ref_ctx = ctx_all.reshape((b, m) + ctx_all.shape[1:])[:, 0]
+    src_matches = [match_all[:, i] for i in range(1, m)]
 
     disp_prior = disps[("disp", cfg.prior_scale)][..., 0]
     _, depth_prior = disp_to_depth(disp_prior, cfg.min_depth, cfg.max_depth)
