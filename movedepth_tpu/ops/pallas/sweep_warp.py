@@ -75,6 +75,136 @@ def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
         out_ref[0, d] = warp.astype(out_ref.dtype)
 
 
+def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
+    """Gradient wrt the source features: transposed one-hot contractions.
+
+    d_srcT[q, rc] = sum_{h,d,x} H1[x, q] * Vexp[x, rc] * g[x, c(rc)]
+    accumulated into one VMEM-resident (W, R*C) block across all (h, d)
+    grid steps of a batch element.
+    """
+    w, db = sx_ref.shape[-2], sx_ref.shape[-1]
+    f32 = jnp.float32
+
+    q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    rid = lax.broadcasted_iota(jnp.int32, (w, R * C), 1) // C
+
+    sx_all = sx_ref[0, 0, 0]
+    sy_all = sy_ref[0, 0, 0]
+    acc = jnp.zeros((w, R * C), f32)
+    for d in range(db):
+        sx = jnp.clip(sx_all[:, d:d + 1], -2.0, w + 1.0)
+        sy = jnp.clip(sy_all[:, d:d + 1], -2.0, R + 1.0)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
+              + jnp.where(q == x0i + 1, fx, 0.0))
+        vexp = (jnp.where(rid == y0i, 1.0 - fy, 0.0)
+                + jnp.where(rid == y0i + 1, fy, 0.0))
+        g_d = g_ref[0, d].astype(f32)  # (W, C)
+        g_tiled = jnp.concatenate([g_d] * R, axis=-1)  # (W, R*C), rc=r*C+c
+        vg = vexp * g_tiled
+        # (W_src, R*C) = H1^T @ vg
+        acc = acc + lax.dot_general(
+            h1, vg, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dsrcT_ref[0] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dsrcT_ref[0] += acc
+
+
+def _prep_coords(a, db):
+    """(B, D, H, W) -> (B, H, nd, W, db): per-bin coordinate columns."""
+    b, d, h, w = a.shape
+    nd = d // db
+    a = jnp.transpose(a, (0, 2, 1, 3)).reshape(b, h, nd, db, w)
+    return jnp.transpose(a, (0, 1, 2, 4, 3))
+
+
+def _coord_specs(w, db):
+    return [
+        pl.BlockSpec((1, 1, 1, w, db),
+                     lambda bi, hi, di: (bi, hi, di, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, w, db),
+                     lambda bi, hi, di: (bi, hi, di, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _warp_rows_impl(src_feat, sx_t, sy_t, interpret=False):
+    """Forward kernel launch. Returns rows layout (B, H*D, W, C)."""
+    b, r, w, c = src_feat.shape
+    _, h, nd, _, db = sx_t.shape
+    d = nd * db
+    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
+    kernel = functools.partial(_warp_kernel, R=r, C=c)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h * d, w, c), src_feat.dtype),
+        grid=(b, h, nd),
+        in_specs=_coord_specs(w, db) + [
+            pl.BlockSpec((1, w, r * c), lambda bi, hi, di: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, db, w, c),
+                               lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sx_t, sy_t, srcT)
+
+
+def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
+    """Backward kernel launch. g: (B, H*D, W, C) -> d_src (B, R, W, C)."""
+    b, h, nd, w, db = sx_t.shape
+    kernel = functools.partial(_warp_bwd_kernel, R=r, C=c)
+    dsrcT = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, w, r * c), jnp.float32),
+        grid=(b, h, nd),
+        in_specs=_coord_specs(w, db) + [
+            pl.BlockSpec((1, db, w, c),
+                         lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w, r * c), lambda bi, hi, di: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sx_t, sy_t, g)
+    dsrc = dsrcT.reshape(b, w, r, c)
+    return jnp.transpose(dsrc, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warp_rows(src_feat, sx_t, sy_t, r, c, interpret=False):
+    return _warp_rows_impl(src_feat, sx_t, sy_t, interpret)
+
+
+def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, interpret=False):
+    out = _warp_rows_impl(src_feat, sx_t, sy_t, interpret)
+    return out, (sx_t, sy_t, jnp.zeros((), src_feat.dtype))
+
+
+def _warp_rows_bwd(r, c, interpret, res, g):
+    sx_t, sy_t, dtype_carrier = res
+    dsrc = _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret)
+    return (dsrc.astype(dtype_carrier.dtype), jnp.zeros_like(sx_t),
+            jnp.zeros_like(sy_t))
+
+
+_warp_rows.defvjp(_warp_rows_fwd, _warp_rows_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("d_block", "interpret"))
 def sweep_warp(src_feat, sx, sy, d_block: int = 8, interpret: bool = False):
     """Warp src features over all depth hypotheses (zeros padding, bilinear).
@@ -83,45 +213,19 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, interpret: bool = False):
     sx, sy:   (B, D, H, W) unnormalized pixel coordinates into src.
     Returns (B, D, H, W, C), numerically matching
     ops.sampling.grid_sample(..., padding='zeros') on the same coords.
+    Differentiable wrt src_feat (custom VJP: transposed one-hot matmuls in
+    a second Pallas kernel); coordinates carry no gradient (the reference
+    computes the sweep grid under no_grad, movedepth/layers.py:784-790).
     """
     b, r, wsrc, c = src_feat.shape
     _, d, h, w = sx.shape
     assert wsrc == w, "source/output widths must match at the prior scale"
     db = min(d_block, d)
     assert d % db == 0
-    nd = d // db
 
-    # (B, W, R*C): contraction layout for the horizontal one-hot matmul
-    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    # coords -> (B, H, nd, W, db): per-bin coordinate columns
-    def prep(a):
-        a = jnp.transpose(a, (0, 2, 1, 3)).reshape(b, h, nd, db, w)
-        return jnp.transpose(a, (0, 1, 2, 4, 3))
-
-    sx_t = prep(sx)
-    sy_t = prep(sy)
-
-    kernel = functools.partial(_warp_kernel, R=r, C=c)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * d, w, c), src_feat.dtype),
-        grid=(b, h, nd),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, w, db),
-                         lambda bi, hi, di: (bi, hi, di, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, w, db),
-                         lambda bi, hi, di: (bi, hi, di, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, r * c),
-                         lambda bi, hi, di: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, db, w, c),
-                               lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(sx_t, sy_t, srcT)
+    sx_t = _prep_coords(sx, db)
+    sy_t = _prep_coords(sy, db)
+    out = _warp_rows(src_feat, sx_t, sy_t, r, c, interpret)
     return jnp.transpose(out.reshape(b, h, d, w, c), (0, 2, 1, 3, 4))
 
 

@@ -33,13 +33,19 @@ from movedepth_tpu.ops.geometry import (
     project,
     transformation_from_parameters,
 )
-from movedepth_tpu.ops.sampling import grid_sample, resize_bilinear
+from movedepth_tpu.ops.sampling import (
+    _sample_one,
+    grid_sample,
+    resize_bilinear,
+    stack_corners,
+)
 from movedepth_tpu.ops.losses import (
     entropy,
     masked_mean,
     min_reprojection_with_automask,
     reprojection_loss,
     smooth_loss,
+    ssim,
 )
 from movedepth_tpu.ops.costvolume import (
     fuse_frames,
@@ -129,9 +135,10 @@ def poses_from_batch(batch, cfg: Config):
 # ---------------------------------------------------------------- MVS branch
 
 def _use_pallas_warp(cfg: Config, train: bool) -> bool:
-    """The fused Pallas warp serves the inference path on TPU; training
-    keeps the XLA gather formulation until the custom VJP lands."""
-    return cfg.pallas_warp and not train and jax.default_backend() == "tpu"
+    """The fused Pallas warp serves both paths on TPU (custom VJP supplies
+    the src-feature gradient as transposed one-hot matmuls)."""
+    del train
+    return cfg.pallas_warp and jax.default_backend() == "tpu"
 
 
 def mvs_depth_from_features(models, variables, ref_match_feat,
@@ -213,12 +220,22 @@ def warp_frame(color_src, depth, K, inv_K, T):
 
 # ----------------------------------------------------------------- loss core
 
-def mono_losses(models_out_disps, batch, cam_T_cam, cfg: Config, rng):
-    """Per-scale min-reprojection + automask + smoothness.
+def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
+                       cfg: Config, rng, mvs_mask=None):
+    """All reprojection losses in one fused multi-warp per source frame.
 
-    (reference: movedepth/trainer.py:491-533 generate_images_pred and
-    :675-724 compute_losses). Returns (losses dict, full-res depth at
-    scale 0, warped color dict for logging).
+    Semantically identical to the reference's three loss passes
+    (mono per-scale min-reprojection + automask + smoothness,
+    trainer.py:675-724; MVS reprojection, :621-673; pure-L1 fuse,
+    :569-612) but restructured TPU-first: the K = num_scales + 2 depth
+    maps (mono scales, MVS, fused) are backprojected and warped with ONE
+    gather per source frame (shared corner table), and SSIM/L1 run over
+    the folded (B*K) batch, cutting kernel count ~6x.
+
+    Pose gradients: live T for the mono scales, detached T for MVS/fused
+    (reference: trainer.py:499,573). ``mvs_mask`` optionally applies the
+    conf/dist/geo masks (reference: trainer.py:649-657).
+    Returns (losses dict, warped scale-0 images per frame for logging).
     """
     color = batch["color"]
     target = color[:, 0]
@@ -226,8 +243,59 @@ def mono_losses(models_out_disps, batch, cam_T_cam, cfg: Config, rng):
     K0 = batch["K"]
     invK0 = batch["inv_K"]
     fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    nsc = cfg.num_scales
+    k_all = nsc + 2
 
-    # identity reprojection losses are scale-independent: compute once
+    # full-res depth per mono scale (bilinear, align_corners=False;
+    # reference trainer.py:512)
+    depth_scales = []
+    for sc in cfg.scales:
+        dfull = resize_bilinear(disps[("disp", sc)], (h, w),
+                                align_corners=False)
+        _, d = disp_to_depth(dfull[..., 0], cfg.min_depth, cfg.max_depth)
+        depth_scales.append(d)
+    depth_all = jnp.stack(depth_scales + [depth_mvs_full, fused_depth],
+                          axis=1)  # (B, K, H, W)
+    pts = backproject(depth_all, invK0[:, None])  # (B, K, 4, HW)
+
+    mono_reproj = []  # per frame: (B, nsc, H, W, 1)
+    mvs_reproj = []
+    fuse_reproj = []
+    warped_log = {}
+    for f in cfg.frame_ids[1:]:
+        T_live = cam_T_cam[f]
+        T_det = lax.stop_gradient(T_live)
+        T_all = jnp.stack([T_live] * nsc + [T_det, T_det], axis=1)
+        grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
+        src = color[:, fid_to_idx[f]]
+        corners = jax.vmap(stack_corners)(src)
+
+        def _samp(im, co, g):
+            return jax.vmap(
+                lambda gg: _sample_one(im, gg[..., 0], gg[..., 1], "border",
+                                       True, co))(g)
+
+        warped = jax.vmap(_samp)(src, corners, grid)  # (B, K, H, W, 3)
+        warped_log[f] = warped[:, 0]
+
+        wf = warped.reshape(b * k_all, h, w, 3)
+        tf = jnp.broadcast_to(target[:, None],
+                              (b, k_all, h, w, 3)).reshape(wf.shape)
+        l1 = jnp.mean(jnp.abs(tf - wf), axis=-1, keepdims=True)
+        if cfg.no_ssim:
+            rp = l1
+        else:
+            sm = jnp.mean(ssim(wf, tf), axis=-1, keepdims=True)
+            rp = cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1
+        rp = rp.reshape(b, k_all, h, w, 1)
+        l1 = l1.reshape(b, k_all, h, w, 1)
+        mono_reproj.append(rp[:, :nsc])
+        mvs_reproj.append(rp[:, nsc])
+        fuse_reproj.append(l1[:, nsc + 1])  # fuse uses ssim_lw=0 == pure L1
+
+    losses: Dict[str, Any] = {}
+
+    # ---- mono: per-scale min-reprojection + automask + smoothness
     ident = jnp.concatenate(
         [
             reprojection_loss(color[:, fid_to_idx[f]], target, cfg.ssim_lw,
@@ -236,29 +304,9 @@ def mono_losses(models_out_disps, batch, cam_T_cam, cfg: Config, rng):
         ],
         axis=-1,
     )
-
     total = 0.0
-    losses: Dict[str, Any] = {}
-    depth_full_s0 = None
-    warped_log = {}
-    for scale in cfg.scales:
-        disp = models_out_disps[("disp", scale)]  # (B, hs, ws, 1)
-        disp_full = resize_bilinear(disp, (h, w), align_corners=False)
-        _, depth = disp_to_depth(disp_full[..., 0], cfg.min_depth,
-                                 cfg.max_depth)
-        if scale == 0:
-            depth_full_s0 = depth
-        reprojs = []
-        for f in cfg.frame_ids[1:]:
-            warped, _ = warp_frame(color[:, fid_to_idx[f]], depth, K0, invK0,
-                                   cam_T_cam[f])
-            if scale == 0:
-                warped_log[f] = warped
-            reprojs.append(
-                reprojection_loss(warped, target, cfg.ssim_lw,
-                                  not cfg.no_ssim))
-        reprojs = jnp.concatenate(reprojs, axis=-1)
-
+    for k, sc in enumerate(cfg.scales):
+        reprojs = jnp.concatenate([m[:, k] for m in mono_reproj], axis=-1)
         if not cfg.disable_automasking:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, ident.shape[:-1] + (1,))
@@ -269,68 +317,96 @@ def mono_losses(models_out_disps, batch, cam_T_cam, cfg: Config, rng):
             mask = jnp.ones_like(reproj)
         rl = masked_mean(reproj, mask)
 
-        color_s = target if scale == 0 else batch[f"color_pyr_{scale}"]
+        disp = disps[("disp", sc)]
+        color_s = target if sc == 0 else batch[f"color_pyr_{sc}"]
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         sl = smooth_loss(disp / (mean_disp + 1e-7), color_s)
-        losses[f"mono_smooth_loss/{scale}"] = sl
-        scale_loss = rl + cfg.disparity_smoothness * sl / (2 ** scale)
-        losses[f"loss/{scale}"] = scale_loss
+        losses[f"mono_smooth_loss/{sc}"] = sl
+        scale_loss = rl + cfg.disparity_smoothness * sl / (2 ** sc)
+        losses[f"loss/{sc}"] = scale_loss
         total = total + scale_loss
+    losses["mono_loss"] = total / nsc
 
-    losses["mono_loss"] = total / cfg.num_scales
-    return losses, depth_full_s0, warped_log
-
-
-def mvs_reprojection_losses(depth_mvs_full, batch, cam_T_cam, cfg: Config):
-    """Full-resolution MVS reprojection loss at scale 0.
-
-    (reference: movedepth/trainer.py:495-507,621-673). Poses are detached.
-    Note the reference overwrites its automask with ones at trainer.py:647,
-    so the effective mask is all-ones unless conf/dist/geo masks are on.
-    """
-    color = batch["color"]
-    target = color[:, 0]
-    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
-    reprojs = []
-    for f in cfg.frame_ids[1:]:
-        T = lax.stop_gradient(cam_T_cam[f])
-        warped, _ = warp_frame(color[:, fid_to_idx[f]], depth_mvs_full,
-                               batch["K"], batch["inv_K"], T)
-        reprojs.append(
-            reprojection_loss(warped, target, cfg.ssim_lw, not cfg.no_ssim))
-    reproj = jnp.min(jnp.concatenate(reprojs, axis=-1), axis=-1, keepdims=True)
-    mask = jnp.ones_like(reproj)
-    out = {"mvs_reproj_loss": masked_mean(reproj, mask)}
-    loss = out["mvs_reproj_loss"]
+    # ---- MVS: min over frames; optional conf/dist/geo masks. The
+    # reference's mvs automask is computed then overwritten with ones
+    # (trainer.py:641-647), so it is intentionally not computed here.
+    reproj = jnp.min(jnp.concatenate(mvs_reproj, axis=-1), axis=-1,
+                     keepdims=True)
+    mask = jnp.ones_like(reproj) if mvs_mask is None else mvs_mask
+    losses["mvs_reproj_loss"] = masked_mean(reproj, mask)
+    mvs_total = losses["mvs_reproj_loss"]
     if cfg.mvs_smooth_loss:
         d = depth_mvs_full[..., None]
         mean_d = jnp.mean(d, axis=(1, 2), keepdims=True)
         sl = smooth_loss(d / (mean_d + 1e-7), target)
-        out["mvs_smooth_loss/0"] = sl
-        loss = loss + cfg.disparity_smoothness * sl
-    out["mvs_loss"] = loss
-    return out
+        losses["mvs_smooth_loss/0"] = sl
+        mvs_total = mvs_total + cfg.disparity_smoothness * sl
+    losses["mvs_loss"] = mvs_total
+
+    # ---- fuse: pure L1, optional automask (reference trainer.py:592-604)
+    fuse_stack = jnp.concatenate(fuse_reproj, axis=-1)
+    if cfg.mask_mvs_auto:
+        ident_l1 = jnp.concatenate(
+            [
+                reprojection_loss(color[:, fid_to_idx[f]], target,
+                                  ssim_lw=0.0, use_ssim=not cfg.no_ssim)
+                for f in cfg.frame_ids[1:]
+            ],
+            axis=-1,
+        )
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, ident_l1.shape[:-1] + (1,))
+        reproj, mask = min_reprojection_with_automask(fuse_stack, ident_l1,
+                                                      noise)
+    else:
+        reproj = jnp.min(fuse_stack, axis=-1, keepdims=True)
+        mask = jnp.ones_like(reproj)
+    losses["fuse_reproj_loss"] = masked_mean(reproj, mask)
+    return losses, warped_log
 
 
-def fuse_losses(fused_depth, batch, cam_T_cam, cfg: Config):
-    """Pure-L1 reprojection of the fused depth (ssim_lw=0).
+def compute_mvs_masks(cost_prob, disp0, batch, cam_T_cam, depth_mvs_full,
+                      cfg: Config):
+    """Optional MVS-loss masks (reference: trainer.py:419-426,649-657).
 
-    (reference: movedepth/trainer.py:569-612). Only the uncertainty head
-    receives gradient -- both depths are detached by the caller.
+    conf: max softmax prob (trilinear-upsampled) > photo_conf;
+    dist: full-res mono disparity > dist_thres;
+    geo:  forward-backward reprojection consistency per source frame.
+    Returns (B, H, W, 1) float mask or None when all flags are off.
     """
-    color = batch["color"]
-    target = color[:, 0]
-    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
-    reprojs = []
-    for f in cfg.frame_ids[1:]:
-        T = lax.stop_gradient(cam_T_cam[f])
-        warped, _ = warp_frame(color[:, fid_to_idx[f]], fused_depth,
-                               batch["K"], batch["inv_K"], T)
-        reprojs.append(
-            reprojection_loss(warped, target, ssim_lw=0.0,
-                              use_ssim=not cfg.no_ssim))
-    reproj = jnp.min(jnp.concatenate(reprojs, axis=-1), axis=-1, keepdims=True)
-    return {"fuse_reproj_loss": masked_mean(reproj, jnp.ones_like(reproj))}
+    if not (cfg.mask_mvs_conf or cfg.mask_mvs_dist or cfg.mask_mvs_geo):
+        return None
+    h, w = cfg.height, cfg.width
+    mask = jnp.ones((batch["color"].shape[0], h, w, 1))
+    if cfg.mask_mvs_conf:
+        prob_max = jnp.max(cost_prob, axis=1)  # (B, h/4, w/4)
+        prob_max = resize_bilinear(prob_max, (h, w), align_corners=True)
+        mask = mask * (prob_max[..., None] > cfg.photo_conf)
+    if cfg.mask_mvs_dist:
+        mask = mask * (disp0 > cfg.dist_thres)
+    if cfg.mask_mvs_geo:
+        from movedepth_tpu.ops.masking import geometric_consistency_mask
+        fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+        for f in cfg.frame_ids[1:]:
+            geo = geometric_consistency_mask(
+                depth_mvs_full, batch["K"],
+                lax.stop_gradient(cam_T_cam[f]), depth_mvs_full, batch["K"],
+                cfg.pixel_thres, cfg.depth_thres)
+            mask = mask * geo[..., None]
+    return mask
+
+
+def warp_frame(color_src, depth, K, inv_K, T):
+    """Backproject-project-sample one source frame at full resolution.
+
+    color_src: (B, H, W, 3); depth: (B, H, W). Border padding,
+    align_corners=True (reference: movedepth/trainer.py:501-507,519-529).
+    """
+    h, w = depth.shape[-2], depth.shape[-1]
+    pts = backproject(depth, inv_K)
+    grid = project(pts, K, T, h, w)
+    return grid_sample(color_src, grid, padding="border",
+                       align_corners=True), grid
 
 
 # ------------------------------------------------------------- forward (train)
@@ -378,10 +454,12 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
         updates["mono_encoder"] = bs
     disps, _ = _apply(models, variables, "mono_depth", feats)
 
-    # 4. mono losses
-    rng, sub = jax.random.split(rng)
-    losses, mono_depth0, warped_log = mono_losses(disps, batch, cam_T_cam,
-                                                  cfg, sub)
+    # 4. full-res scale-0 mono depth (needed for the fusion input; the
+    # photometric losses recompute it identically -- XLA CSEs the pair)
+    disp0_full = resize_bilinear(disps[("disp", 0)], (h, w),
+                                 align_corners=False)
+    _, mono_depth0 = disp_to_depth(disp0_full[..., 0], cfg.min_depth,
+                                   cfg.max_depth)
 
     # 5. depth bins from the detached mono prior (trainer.py:333-346)
     disp_prior = lax.stop_gradient(disps[("disp", cfg.prior_scale)][..., 0])
@@ -420,7 +498,6 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     # NOTE: the reference multiplies by mask_lw twice (trainer.py:399-400),
     # so the effective weight is mask_lw**2; reproduced for parity.
     masked_loss = masked_mean(sl1, low_mask) * cfg.mask_lw ** 2
-    losses["masked_loss"] = masked_loss
 
     # 8. upsample MVS depth to full res (trainer.py:406-409)
     if cfg.convex_up:
@@ -436,11 +513,15 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
         (1.0 - trust_full[..., 0]) * lax.stop_gradient(depth_mvs_full)
         + trust_full[..., 0] * lax.stop_gradient(mono_depth0)
     )
-    losses.update(fuse_losses(fused, batch, cam_T_cam, cfg))
 
-    # 10. MVS reprojection losses (trainer.py:427-428)
-    losses.update(mvs_reprojection_losses(depth_mvs_full, batch, cam_T_cam,
-                                          cfg))
+    # 10. all photometric losses in one fused multi-warp pass
+    mvs_mask = compute_mvs_masks(cost_prob, disp0_full, batch, cam_T_cam,
+                                 depth_mvs_full, cfg)
+    rng, sub = jax.random.split(rng)
+    losses, warped_log = photometric_losses(
+        disps, depth_mvs_full, fused, batch, cam_T_cam, cfg, sub,
+        mvs_mask=mvs_mask)
+    losses["masked_loss"] = masked_loss
 
     total = (losses["mono_loss"] + losses["masked_loss"]
              + losses["mvs_loss"] + losses["fuse_reproj_loss"])

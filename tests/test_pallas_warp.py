@@ -60,3 +60,34 @@ def test_sweep_warp_identity(rng):
     np.testing.assert_allclose(np.asarray(out),
                                np.broadcast_to(np.asarray(src)[:, None],
                                                (b, d, h, w, c)), atol=1e-6)
+
+
+def test_sweep_warp_gradient_matches_gather_path(rng):
+    """Custom VJP wrt src features vs jax.grad of the gather formulation."""
+    src, K, invK, bins, T = _setup(rng, b=1, d=8, h=8, w=16, c=8)
+    h, w = src.shape[1], src.shape[2]
+    grid = sweep_grid(bins, K, invK, T)
+    sx, sy = grid_to_pixel(grid, h, w)
+    ref = jnp.asarray(rng.normal(0, 1, src.shape).astype(np.float32))
+
+    def loss_pallas(s):
+        out = sweep_warp(s, sx, sy, interpret=True) * ref[:, None]
+        return jnp.sum(out ** 2)
+
+    def loss_gather(s):
+        out = plane_sweep_costvol(ref, s, K, invK, bins, T)
+        return jnp.sum(out ** 2)
+
+    g_pallas = jax.grad(loss_pallas)(src)
+    g_gather = jax.grad(loss_gather)(src)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_gather),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_sweep_warp_no_gradient_to_coords(rng):
+    src, K, invK, bins, T = _setup(rng, b=1, d=8, h=8, w=16, c=8)
+    h, w = src.shape[1], src.shape[2]
+    grid = sweep_grid(bins, K, invK, T)
+    sx, sy = grid_to_pixel(grid, h, w)
+    g = jax.grad(lambda a: jnp.sum(sweep_warp(src, a, sy, interpret=True)))(sx)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
