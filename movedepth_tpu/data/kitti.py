@@ -99,7 +99,7 @@ class KITTIRawDataset:
                  width: int, frame_ids: Sequence[int], is_train: bool = False,
                  img_ext: str = ".jpg", load_depth: Optional[bool] = None,
                  load_pose: bool = False, seed: int = 1,
-                 native: bool = False):
+                 native: bool = False, rt: bool = False):
         self.data_path = data_path
         # native C++ decode+pyramid path (native/loader.cpp): ~1.5x faster
         # per host thread and scales with cores; float Lanczos (PIL
@@ -119,6 +119,9 @@ class KITTIRawDataset:
         self.seed = seed
         self.epoch = 0
         self.load_pose = load_pose
+        # robust training: replace the fixed -1/+1 neighbors with random
+        # offsets from {-3..-1, 1..3} (reference: mono_dataset.py:160-178)
+        self.rt = rt
         self.load_depth = (self.check_depth() if load_depth is None
                            else load_depth)
         self._poses = {}
@@ -192,7 +195,14 @@ class KITTIRawDataset:
                    and not self.load_pose)
         folder, frame_index, side = self.parse_line(index)
 
-        if self.native and not do_aug:
+        offsets = {i: i for i in self.frame_ids}
+        if self.is_train and self.rt:
+            draws = rng.choice([-3, -2, -1, 1, 2, 3],
+                               size=len(self.frame_ids) - 1, replace=False)
+            for i, off in zip(self.frame_ids[1:], draws):
+                offsets[i] = int(off)
+
+        if self.native and not do_aug and not self.rt:
             sample = self._getitem_native(index, folder, frame_index, side,
                                           do_flip)
             if sample is not None:
@@ -202,7 +212,8 @@ class KITTIRawDataset:
         rel_poses: Dict[int, np.ndarray] = {}
         for i in self.frame_ids:
             try:
-                frames[i] = self._load_frame(folder, frame_index + i, side,
+                frames[i] = self._load_frame(folder,
+                                             frame_index + offsets[i], side,
                                              do_flip)
                 if self.load_pose:
                     seq = f"{int(folder):02d}"

@@ -85,3 +85,20 @@ def replicate(tree, mesh: Mesh):
     """Replicate params/state across the mesh."""
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host initialization (the torch.distributed.launch equivalent;
+    reference: train_movedepth.sh:15, trainer.py:48-49).
+
+    On TPU pods the arguments are discovered from the environment; pass
+    them explicitly elsewhere. After this, jax.devices() spans all hosts
+    and make_mesh() builds a global mesh; each host feeds its local batch
+    shard (Loader rank=jax.process_index(), world=jax.process_count()).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()

@@ -80,7 +80,8 @@ class Trainer:
     """End-to-end training driver."""
 
     def __init__(self, cfg: Config, split_dir: Optional[str] = None,
-                 mesh=None, rank: int = 0, world_size: int = 1):
+                 mesh=None, rank: int = 0, world_size: int = 1,
+                 profile_steps: int = 0):
         self.cfg = validate(cfg)
         self.rank = rank
         self.world_size = world_size
@@ -139,6 +140,10 @@ class Trainer:
         self.step = 0
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self._val_iter = None
+        # profiling hook (the reference has none, SURVEY.md section 5):
+        # capture a jax.profiler device trace of steps [2, 2+profile_steps)
+        self.profile_steps = profile_steps
+        self._profiling = False
 
     # ------------------------------------------------------------- loading
 
@@ -188,6 +193,14 @@ class Trainer:
         use_z = jnp.asarray(self.epoch > cfg.ztrans_start_epc)
         for batch_idx, batch in enumerate(self.train_loader.epoch(self.epoch)):
             t0 = time.time()
+            if self.profile_steps and self.rank == 0:
+                if self.step == 2 and not self._profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(self.log_path, "profile"))
+                    self._profiling = True
+                elif self._profiling and self.step == 2 + self.profile_steps:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
             self.rng, sub = jax.random.split(self.rng)
             device_batch = self._put(batch)
             self.state, losses, outputs = self.train_step(
