@@ -32,9 +32,9 @@ from movedepth_tpu import pipeline as P
 from movedepth_tpu.train import state as S
 
 BASELINE_FPS = 750.0  # 5x monodepth2-PyTorch-GPU (~150 fps at 640x192)
-BATCH = 8
-N_SHORT = 4
-N_LONG = 24
+BATCH = 128  # throughput-optimal on v5e (fixed overheads amortized)
+N_SHORT = 2
+N_LONG = 10
 
 
 def log(*a):

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
-    srcT = srcT_ref[0]  # (W, R*C)
+    srcT = srcT_ref[0]  # (W, C*R): contraction layout is (q, c*R + r)
     dt = srcT.dtype
     # MXU default precision is bf16 multiplies; f32 inputs need the 3-pass
     # mode to match the f32 gather path (bf16 features use the fast path)
@@ -46,10 +46,11 @@ def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
             else lax.Precision.DEFAULT)
 
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    rid = lax.broadcasted_iota(jnp.int32, (w, R * C), 1) // C
-    rc = lax.broadcasted_iota(jnp.int32, (R * C, C), 0) % C
-    cc = lax.broadcasted_iota(jnp.int32, (R * C, C), 1)
-    s = (rc == cc).astype(dt)
+    r_io = lax.broadcasted_iota(jnp.int32, (w, R), 1)
+    # sum-over-r matrix: S[c*R + r, c'] = (c == c')
+    cid = lax.broadcasted_iota(jnp.int32, (C * R, C), 0) // R
+    cc = lax.broadcasted_iota(jnp.int32, (C * R, C), 1)
+    s = (cid == cc).astype(dt)
 
     sx_all = sx_ref[0, 0, 0]  # (W, db)
     sy_all = sy_ref[0, 0, 0]
@@ -67,9 +68,13 @@ def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
         h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
               + jnp.where(q == x0i + 1, fx, 0.0))  # (W, Wsrc)
         hi = jnp.dot(h1.astype(dt), srcT, precision=prec,
-                     preferred_element_type=jnp.float32)  # (W, R*C)
-        vexp = (jnp.where(rid == y0i, 1.0 - fy, 0.0)
-                + jnp.where(rid == y0i + 1, fy, 0.0))
+                     preferred_element_type=jnp.float32)  # (W, C*R)
+        # vertical mask built small then lane-tiled C times: under the
+        # (c*R + r) layout tile-repeat IS the correct expansion, replacing
+        # a 10x larger compare-select construction
+        v = (jnp.where(r_io == y0i, 1.0 - fy, 0.0)
+             + jnp.where(r_io == y0i + 1, fy, 0.0))  # (W, R)
+        vexp = pltpu.repeat(v, C, axis=1)  # (W, C*R)
         warp = jnp.dot((hi * vexp).astype(dt), s, precision=prec,
                        preferred_element_type=jnp.float32)  # (W, C)
         out_ref[0, d] = warp.astype(out_ref.dtype)
@@ -78,19 +83,23 @@ def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
 def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
     """Gradient wrt the source features: transposed one-hot contractions.
 
-    d_srcT[q, rc] = sum_{h,d,x} H1[x, q] * Vexp[x, rc] * g[x, c(rc)]
-    accumulated into one VMEM-resident (W, R*C) block across all (h, d)
+    d_srcT[q, cr] = sum_{h,d,x} H1[x, q] * V[x, r(cr)] * g[x, c(cr)]
+    accumulated into one VMEM-resident (W, C*R) block across all (h, d)
     grid steps of a batch element.
     """
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
     f32 = jnp.float32
 
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    rid = lax.broadcasted_iota(jnp.int32, (w, R * C), 1) // C
+    r_io = lax.broadcasted_iota(jnp.int32, (w, R), 1)
+    # g expansion over r via one-hot matmul: E[c, c'*R + r] = (c == c')
+    cid = lax.broadcasted_iota(jnp.int32, (C, C * R), 1) // R
+    crow = lax.broadcasted_iota(jnp.int32, (C, C * R), 0)
+    e = (cid == crow).astype(f32)
 
     sx_all = sx_ref[0, 0, 0]
     sy_all = sy_ref[0, 0, 0]
-    acc = jnp.zeros((w, R * C), f32)
+    acc = jnp.zeros((w, C * R), f32)
     for d in range(db):
         sx = jnp.clip(sx_all[:, d:d + 1], -2.0, w + 1.0)
         sy = jnp.clip(sy_all[:, d:d + 1], -2.0, R + 1.0)
@@ -102,11 +111,12 @@ def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
         y0i = y0.astype(jnp.int32)
         h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
               + jnp.where(q == x0i + 1, fx, 0.0))
-        vexp = (jnp.where(rid == y0i, 1.0 - fy, 0.0)
-                + jnp.where(rid == y0i + 1, fy, 0.0))
+        v = (jnp.where(r_io == y0i, 1.0 - fy, 0.0)
+             + jnp.where(r_io == y0i + 1, fy, 0.0))  # (W, R)
+        vexp = pltpu.repeat(v, C, axis=1)  # (W, C*R)
         g_d = g_ref[0, d].astype(f32)  # (W, C)
-        g_tiled = jnp.concatenate([g_d] * R, axis=-1)  # (W, R*C), rc=r*C+c
-        vg = vexp * g_tiled
+        g_exp = jnp.dot(g_d, e, preferred_element_type=f32)  # (W, C*R)
+        vg = vexp * g_exp
         # (W_src, R*C) = H1^T @ vg
         acc = acc + lax.dot_general(
             h1, vg, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -147,14 +157,15 @@ def _warp_rows_impl(src_feat, sx_t, sy_t, interpret=False):
     b, r, w, c = src_feat.shape
     _, h, nd, _, db = sx_t.shape
     d = nd * db
-    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
+    # (q, c, r) layout: the vertical expansion becomes a lane tile-repeat
+    srcT = jnp.transpose(src_feat, (0, 2, 3, 1)).reshape(b, w, c * r)
     kernel = functools.partial(_warp_kernel, R=r, C=c)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h * d, w, c), src_feat.dtype),
         grid=(b, h, nd),
         in_specs=_coord_specs(w, db) + [
-            pl.BlockSpec((1, w, r * c), lambda bi, hi, di: (bi, 0, 0),
+            pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, db, w, c),
@@ -170,19 +181,19 @@ def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
     kernel = functools.partial(_warp_bwd_kernel, R=r, C=c)
     dsrcT = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, w, r * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, w, c * r), jnp.float32),
         grid=(b, h, nd),
         in_specs=_coord_specs(w, db) + [
             pl.BlockSpec((1, db, w, c),
                          lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w, r * c), lambda bi, hi, di: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx_t, sy_t, g)
-    dsrc = dsrcT.reshape(b, w, r, c)
-    return jnp.transpose(dsrc, (0, 2, 1, 3))
+    dsrc = dsrcT.reshape(b, w, c, r)  # (q, c, r) layout back to NHWC
+    return jnp.transpose(dsrc, (0, 3, 1, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
