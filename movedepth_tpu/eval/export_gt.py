@@ -34,5 +34,10 @@ def export_gt_depths(data_path: str, split_dir: str, split: str) -> str:
             gt = np.asarray(Image.open(png), dtype=np.float32) / 256.0
         gt_depths.append(gt.astype(np.float32))
     out = os.path.join(split_dir, "gt_depths.npz")
-    np.savez_compressed(out, data=np.array(gt_depths, dtype=object))
+    # force a 1-D object array even when all GTs share a shape (a plain
+    # np.array(..., dtype=object) would build a 3-D array of scalars)
+    arr = np.empty(len(gt_depths), dtype=object)
+    for i, g in enumerate(gt_depths):
+        arr[i] = g
+    np.savez_compressed(out, data=arr)
     return out

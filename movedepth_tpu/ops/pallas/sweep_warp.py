@@ -23,6 +23,14 @@ instead of the gather's 4-taps-per-point random access. Coordinates are
 fed pre-transposed as (..., W, depth_block) so each bin's coordinate
 vector is a natural sublane column (Mosaic cannot relayout lanes into
 sublanes in-kernel).
+
+Performance note: the kernel runs at ~45% MXU utilization and is ~2x the
+best XLA gather formulation; its remaining cost is intrinsic to the dense
+one-hot contraction (W MACs per output tap instead of 4). Future work:
+epipolar-band windowing -- the vertical taps of one output row span only
+a few source rows, so a PrefetchScalarGridSpec whose srcT index_map
+selects a narrow row window per (row, bin-block) would cut the
+contraction ~3x; it needs a correctness fallback for large rotations.
 """
 
 from __future__ import annotations

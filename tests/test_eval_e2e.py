@@ -1,0 +1,71 @@
+"""End-to-end evaluation: synthetic KITTI tree + checkpoint -> metric tables
+through the real predict/evaluate path (the de-facto integration test the
+reference relies on, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from movedepth_tpu.config import Config
+from movedepth_tpu.models import build_models
+from movedepth_tpu.train import state as S
+from movedepth_tpu.eval.evaluate import evaluate, predict_disparities
+
+
+@pytest.fixture(scope="module")
+def eval_tree(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("evalkitti")
+    drive = "2011_09_26/2011_09_26_drive_0002_sync"
+    img_dir = tmp_path / drive / "image_02" / "data"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        small = rng.uniform(0, 255, (8, 12, 3))
+        arr = np.repeat(np.repeat(small, 8, 0), 8, 1).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:010d}.jpg")
+    split_dir = tmp_path / "eigen"
+    split_dir.mkdir()
+    (split_dir / "test_files.txt").write_text(
+        f"{drive} 1 l\n{drive} 2 l")
+    # synthetic GT depths at a different (GT-native) resolution
+    gt = [rng.uniform(5, 60, (96, 320)).astype(np.float32)
+          for _ in range(2)]
+    arr = np.empty(len(gt), dtype=object)
+    for i, g in enumerate(gt):
+        arr[i] = g
+    np.savez_compressed(split_dir / "gt_depths.npz", data=arr)
+    return str(tmp_path), str(split_dir)
+
+
+def test_evaluate_end_to_end(eval_tree):
+    data_path, split_dir = eval_tree
+    cfg = Config(height=64, width=96, num_depth_bins=8, batch_size=1,
+                 compute_dtype="float32", num_workers=2)
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+
+    results = evaluate(variables, cfg, data_path, split_dir, batch_size=1)
+    for name in ("mono", "mvs", "upbound"):
+        r = results[name]
+        assert r.shape == (7,)
+        assert np.isfinite(r).all()
+        assert 0 <= r[4] <= 1  # a1 in [0, 1]
+    # oracle upbound cannot be worse than either branch
+    assert results["upbound"][0] <= results["mono"][0] + 1e-9
+    assert results["upbound"][0] <= results["mvs"][0] + 1e-9
+
+
+def test_predict_disparities_shapes(eval_tree):
+    data_path, split_dir = eval_tree
+    cfg = Config(height=64, width=96, num_depth_bins=8, batch_size=2,
+                 compute_dtype="float32", num_workers=2)
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    mono, mvs = predict_disparities(variables, cfg, data_path, split_dir,
+                                    batch_size=2)
+    assert mono.shape == (2, 64, 96) and mvs.shape == (2, 64, 96)
+    assert (mvs > 0).all() and np.isfinite(mono).all()
