@@ -14,10 +14,19 @@ from jax import lax
 
 
 def _avg_pool3(x):
-    """3x3 stride-1 VALID mean pool over NHWC."""
-    out = lax.reduce_window(
-        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
-    )
+    """3x3 stride-1 VALID mean pool over NHWC.
+
+    Written as 9 shifted slices + adds instead of lax.reduce_window: slices
+    and adds fuse into ONE elementwise XLA loop (and so do the five pools
+    of SSIM plus their surrounding arithmetic), where reduce_window stays a
+    separate pass per pool -- ~5x less HBM traffic for the SSIM chain.
+    """
+    h, w = x.shape[1], x.shape[2]
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            part = x[:, dy:dy + h - 2, dx:dx + w - 2, :]
+            out = part if out is None else out + part
     return out / 9.0
 
 

@@ -267,6 +267,11 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         T_det = lax.stop_gradient(T_live)
         T_all = jnp.stack([T_live] * nsc + [T_det, T_det], axis=1)
         grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
+        # NOTE: these full-res warps are the train step's hottest op and are
+        # gather ROW-RATE-bound on TPU (~127M rows/s; narrower/bf16 rows do
+        # not help). Next optimization: a border-mode one-hot MXU warp with
+        # a coordinate VJP (the depth/pose training signal flows through the
+        # grid here, unlike the cost-volume sweep).
         src = color[:, fid_to_idx[f]]
         corners = jax.vmap(stack_corners)(src)
 
