@@ -98,12 +98,26 @@ def predict_disparities(variables, cfg: Config, data_path: str,
         out = P.forward_infer(models, variables, batch, cfg)
         return out["disp_mono"], 1.0 / out["depth_mvs"]
 
+    @jax.jit
+    def infer_flipped(variables, batch):
+        fb = dict(batch)
+        fb["color"] = batch["color"][..., ::-1, :]
+        out = P.forward_infer(models, variables, fb, cfg)
+        return out["disp_mono"][..., ::-1], (1.0 / out["depth_mvs"])[..., ::-1]
+
     monos, mvss = [], []
     for batch in loader.epoch(0):
         jb = jax.tree.map(jnp.asarray, batch)
         dm, dz = infer(variables, jb)
-        monos.append(np.asarray(dm))
-        mvss.append(np.asarray(dz))
+        dm, dz = np.asarray(dm), np.asarray(dz)
+        if cfg.post_process:
+            # monodepth-v1 flip blending; the reference parses the flag but
+            # never applies it (SURVEY.md 2.2) -- functional here
+            dmf, dzf = infer_flipped(variables, jb)
+            dm = batch_post_process_disparity(dm, np.asarray(dmf))
+            dz = batch_post_process_disparity(dz, np.asarray(dzf))
+        monos.append(dm)
+        mvss.append(dz)
     return np.concatenate(monos, 0), np.concatenate(mvss, 0)
 
 

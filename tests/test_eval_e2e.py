@@ -69,3 +69,15 @@ def test_predict_disparities_shapes(eval_tree):
                                     batch_size=2)
     assert mono.shape == (2, 64, 96) and mvs.shape == (2, 64, 96)
     assert (mvs > 0).all() and np.isfinite(mono).all()
+
+
+def test_predict_disparities_post_process(eval_tree):
+    data_path, split_dir = eval_tree
+    cfg = Config(height=64, width=96, num_depth_bins=8, batch_size=2,
+                 compute_dtype="float32", num_workers=2, post_process=True)
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    mono, mvs = predict_disparities(variables, cfg, data_path, split_dir,
+                                    batch_size=2)
+    assert mono.shape == (2, 64, 96)
+    assert np.isfinite(mono).all() and np.isfinite(mvs).all()
