@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--multichip", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="shard the batch over all local devices")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N early steps")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -41,7 +43,8 @@ def main(argv=None):
 
     split_dir = (f"{args.splits_dir}/{cfg.split}" if args.splits_dir else None)
     with M.activate_mesh(mesh):
-        trainer = Trainer(cfg, split_dir=split_dir, mesh=mesh)
+        trainer = Trainer(cfg, split_dir=split_dir, mesh=mesh,
+                          profile_steps=args.profile_steps)
         trainer.train()
 
 

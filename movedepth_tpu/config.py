@@ -106,6 +106,10 @@ class Config:
     param_dtype: str = "float32"
     # fused Pallas plane-sweep warp (inference path; auto-disabled off-TPU)
     pallas_warp: bool = True
+    # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
+    native_loader: bool = False
+    # robust training: random frame offsets (reference: mono_dataset rt flag)
+    robust_train: bool = False
 
     # ---- loading (reference: options.py:242-251) ----
     load_weights_folder: Optional[str] = None

@@ -101,11 +101,11 @@ class Trainer:
         self.train_dataset = dataset_cls(
             cfg.data_path, train_files, cfg.height, cfg.width, cfg.frame_ids,
             is_train=True, img_ext=img_ext, load_pose=cfg.load_pose,
-            seed=cfg.seed)
+            seed=cfg.seed, native=cfg.native_loader, rt=cfg.robust_train)
         self.val_dataset = dataset_cls(
             cfg.data_path, val_files, cfg.height, cfg.width, cfg.frame_ids,
             is_train=False, img_ext=img_ext, load_pose=cfg.load_pose,
-            seed=cfg.seed)
+            seed=cfg.seed, native=cfg.native_loader)
         self.train_loader = Loader(
             self.train_dataset, cfg.batch_size, rank, world_size,
             shuffle=True, drop_last=True, num_workers=cfg.num_workers,
