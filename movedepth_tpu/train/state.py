@@ -157,4 +157,5 @@ def make_train_step(models, cfg: Config, tx):
         )
         return new_state, losses, outputs
 
-    return jax.jit(step)
+    # donate the state: params/opt-state buffers are reused in place
+    return jax.jit(step, donate_argnums=(0,))

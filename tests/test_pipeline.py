@@ -114,3 +114,21 @@ def test_lr_schedule_steps():
     assert float(sched(0)) == pytest.approx(2e-4)
     assert float(sched(1499)) == pytest.approx(2e-4)
     assert float(sched(1500)) == pytest.approx(2e-5)
+
+
+def test_multi_warp_chunked_matches_direct(rng):
+    """The >8-batch chunked gather path must equal the direct path."""
+    import numpy as np
+    from movedepth_tpu.pipeline import _multi_warp
+    from movedepth_tpu.ops.sampling import grid_sample
+
+    b, k, h, w = 9, 3, 16, 24  # 9 -> chunks of 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.1, 1.1, (b, k, h, w, 2)).astype(np.float32))
+    out = _multi_warp(src, grid)
+    assert out.shape == (b, k, h, w, 3)
+    want = jax.vmap(
+        lambda im, g: grid_sample(
+            jnp.broadcast_to(im, (k,) + im.shape), g, "border", True)
+    )(src, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
