@@ -44,12 +44,14 @@ def test_dp_matches_single_device():
     rng = jax.random.PRNGKey(1)
     uz = jnp.asarray(False)
 
+    # the train step donates its input state; keep a copy for the DP run
+    state_dp = jax.tree.map(jnp.copy, state)
     _, losses_single, _ = step(state, batch, rng, uz)
 
     mesh = M.make_mesh()  # 8-way data parallel
     with M.activate_mesh(mesh):
         b = M.shard_batch(batch, mesh)
-        st = M.replicate(state, mesh)
+        st = M.replicate(state_dp, mesh)
         new_state, losses_dp, _ = step(st, b, jax.device_put(
             rng, M.replicated(mesh)), jax.device_put(uz, M.replicated(mesh)))
         dp_loss = float(losses_dp["loss"])
