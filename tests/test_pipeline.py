@@ -132,3 +132,16 @@ def test_multi_warp_chunked_matches_direct(rng):
             jnp.broadcast_to(im, (k,) + im.shape), g, "border", True)
     )(src, grid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_forward_infer_bf16_config():
+    """The default (bfloat16 compute) config must produce finite depths
+    (the TPU production path; runs here on CPU for regression safety)."""
+    cfg = Config(height=64, width=96, batch_size=1, num_depth_bins=8)
+    assert cfg.compute_dtype == "bfloat16"
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 1))
+    out = P.forward_infer(models, variables, batch, cfg)
+    d = np.asarray(out["depth_mvs"], dtype=np.float32)
+    assert np.isfinite(d).all() and (d > 0).all()
