@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional, Tuple, get_args, get_origin
 
 from movedepth_tpu.config import Config
 

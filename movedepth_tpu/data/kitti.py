@@ -28,7 +28,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 from PIL import Image, ImageEnhance
 
-from movedepth_tpu.config import Config
 from movedepth_tpu.data.kitti_utils import generate_depth_map, \
     load_odometry_poses
 

@@ -9,7 +9,7 @@ with torch's output_padding bookkeeping (SURVEY.md section 7 hard part #6).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -20,7 +20,7 @@ the host-side per-scale K of the reference dataset
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
