@@ -45,7 +45,9 @@ def load_variables(cfg):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="MoveDepth-TPU evaluation")
     add_config_args(parser)
-    parser.add_argument("--splits_dir", type=str, required=True)
+    default_splits = os.path.join(os.path.dirname(__file__), "..", "splits")
+    parser.add_argument("--splits_dir", type=str, default=default_splits,
+                        help="defaults to the bundled split lists")
     parser.add_argument("--gt_path", type=str, default=None)
     parser.add_argument("--limit", type=int, default=None)
     args = parser.parse_args(argv)

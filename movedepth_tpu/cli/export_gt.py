@@ -15,7 +15,9 @@ from movedepth_tpu.eval.export_gt import export_gt_depths
 def main(argv=None):
     parser = argparse.ArgumentParser(description="export GT depths")
     parser.add_argument("--data_path", type=str, required=True)
-    parser.add_argument("--splits_dir", type=str, required=True)
+    default_splits = os.path.join(os.path.dirname(__file__), "..", "splits")
+    parser.add_argument("--splits_dir", type=str, default=default_splits,
+                        help="defaults to the bundled split lists")
     parser.add_argument("--split", type=str, required=True,
                         choices=["eigen", "eigen_benchmark"])
     args = parser.parse_args(argv)

@@ -22,6 +22,7 @@ without torch/torchvision/pykitti:
 
 from __future__ import annotations
 
+import gzip
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -48,6 +49,15 @@ SIDE_MAP = {"2": 2, "3": 3, "l": 2, "r": 3}
 
 
 def readlines(path: str) -> List[str]:
+    """Read a split list; falls back to the bundled gzipped copy.
+
+    The KITTI split lists (reference: movedepth/splits/) ship inside this
+    package as .txt.gz to keep the wheel small; a plain .txt at the same
+    path (e.g. imported via cli/import_splits.py) takes precedence.
+    """
+    if not os.path.exists(path) and os.path.exists(path + ".gz"):
+        with gzip.open(path + ".gz", "rt") as f:
+            return f.read().splitlines()
     with open(path) as f:
         return f.read().splitlines()
 

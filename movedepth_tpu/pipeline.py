@@ -35,7 +35,6 @@ from movedepth_tpu.ops.geometry import (
 )
 from movedepth_tpu.ops.sampling import (
     _sample_one,
-    grid_sample,
     resize_bilinear,
     stack_corners,
 )
@@ -201,21 +200,6 @@ def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
         depth_prior, cfg.num_depth_bins, cfg.depth_bin_fac,
         z[:, None, None], cfg.schedule_type)
     return jnp.where(use_z_bins, zbins, plain)
-
-
-# ------------------------------------------------------------------- warping
-
-def warp_frame(color_src, depth, K, inv_K, T):
-    """Backproject-project-sample one source frame at full resolution.
-
-    color_src: (B, H, W, 3); depth: (B, H, W). Border padding,
-    align_corners=True (reference: movedepth/trainer.py:501-507,519-529).
-    """
-    h, w = depth.shape[-2], depth.shape[-1]
-    pts = backproject(depth, inv_K)
-    grid = project(pts, K, T, h, w)
-    return grid_sample(color_src, grid, padding="border",
-                       align_corners=True), grid
 
 
 # ----------------------------------------------------------------- loss core
@@ -406,8 +390,14 @@ def compute_mvs_masks(cost_prob, disp0, batch, cam_T_cam, depth_mvs_full,
     h, w = cfg.height, cfg.width
     mask = jnp.ones((batch["color"].shape[0], h, w, 1))
     if cfg.mask_mvs_conf:
-        prob_max = jnp.max(cost_prob, axis=1)  # (B, h/4, w/4)
-        prob_max = resize_bilinear(prob_max, (h, w), align_corners=True)
+        # Trilinear-upsample the prob volume to (D, H, W) FIRST, then max
+        # over D (reference: trainer.py:420-421). D is unchanged so the
+        # trilinear resize is a per-depth-slice bilinear; max and
+        # interpolation don't commute, so the order matters.
+        up = jax.vmap(lambda p: resize_bilinear(p, (h, w),
+                                                align_corners=True),
+                      in_axes=1, out_axes=1)(cost_prob)  # (B, D, H, W)
+        prob_max = jnp.max(up, axis=1)
         mask = mask * (prob_max[..., None] > cfg.photo_conf)
     if cfg.mask_mvs_dist:
         mask = mask * (disp0 > cfg.dist_thres)
@@ -421,19 +411,6 @@ def compute_mvs_masks(cost_prob, disp0, batch, cam_T_cam, depth_mvs_full,
                 cfg.pixel_thres, cfg.depth_thres)
             mask = mask * geo[..., None]
     return mask
-
-
-def warp_frame(color_src, depth, K, inv_K, T):
-    """Backproject-project-sample one source frame at full resolution.
-
-    color_src: (B, H, W, 3); depth: (B, H, W). Border padding,
-    align_corners=True (reference: movedepth/trainer.py:501-507,519-529).
-    """
-    h, w = depth.shape[-2], depth.shape[-1]
-    pts = backproject(depth, inv_K)
-    grid = project(pts, K, T, h, w)
-    return grid_sample(color_src, grid, padding="border",
-                       align_corners=True), grid
 
 
 # ------------------------------------------------------------- forward (train)

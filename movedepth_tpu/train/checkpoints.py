@@ -53,13 +53,18 @@ def restore_checkpoint(path: str, state_template: Any) -> Any:
         return ckptr.restore(os.path.abspath(path), state_template)
 
 
-def restore_partial_params(path: str, params: dict, names) -> dict:
-    """Filtered partial restore of selected models' params+stats
-    (mono warm start; reference: trainer.py:833-844)."""
+def restore_partial_params(path: str, params: dict, batch_stats: dict,
+                           names) -> tuple:
+    """Filtered partial restore of selected models' params AND BN stats
+    (mono warm start; reference: trainer.py:833-844 restores the full
+    state dict per model, so running_mean/var come along — a warmed mono
+    encoder with fresh BN stats would emit a garbage depth prior)."""
     with ocp.StandardCheckpointer() as ckptr:
         full = ckptr.restore(os.path.abspath(path))
-    out = dict(params)
+    out_p, out_s = dict(params), dict(batch_stats)
     for n in names:
         if n in full.get("params", {}):
-            out[n] = full["params"][n]
-    return out
+            out_p[n] = full["params"][n]
+        if n in full.get("batch_stats", {}):
+            out_s[n] = full["batch_stats"][n]
+    return out_p, out_s

@@ -244,6 +244,50 @@ def _torch_state_to_numpy(sd) -> Dict[str, Array]:
                           else v) for k, v in sd.items()}
 
 
+def find_imagenet_weights(num_layers: int, search_dirs=None):
+    """Locate a torchvision ImageNet .pth using the reference's on-disk
+    convention ``pretrain_resnet/resnet{N}-*.pth``
+    (reference: networks/resnet_encoder.py:59-104). Searches the given
+    dirs, then $PRETRAIN_RESNET_DIR, then ./pretrain_resnet, then the
+    repo-root pretrain_resnet. Returns a path or None."""
+    import glob
+
+    dirs = list(search_dirs or [])
+    env = os.environ.get("PRETRAIN_RESNET_DIR")
+    if env:
+        dirs.append(env)
+    dirs.append("pretrain_resnet")
+    dirs.append(os.path.join(os.path.dirname(__file__), "..", "..",
+                             "pretrain_resnet"))
+    for d in dirs:
+        hits = sorted(glob.glob(os.path.join(d, f"resnet{num_layers}-*.pth")))
+        if hits:
+            return hits[0]
+    return None
+
+
+def load_imagenet_encoders(cfg: Config, search_dirs=None) -> Dict[str, Dict]:
+    """ImageNet warm start for the three ResNet encoders
+    (reference: trainer.py:67,84 constructs every encoder with
+    pretrained=weights_init=='pretrained'; resnet_encoder.py:59-104 loads
+    torchvision weights, tiling conv1 over stacked frames for the pose
+    encoder). Returns {model_name: flax variables}; empty if no weights
+    file is found (caller should warn and fall back to scratch init)."""
+    import copy
+
+    import torch  # local import; only needed when converting
+
+    path = find_imagenet_weights(cfg.res_arch, search_dirs)
+    if path is None:
+        return {}
+    sd = _torch_state_to_numpy(torch.load(path, map_location="cpu"))
+    mono = convert_resnet_encoder(sd)
+    out = {"mono_encoder": mono}
+    if not cfg.load_pose:
+        out["pose_encoder"] = adapt_conv1_multi_image(copy.deepcopy(mono), 2)
+    return out
+
+
 def load_reference_checkpoint(folder: str, cfg: Config) -> Dict[str, Dict]:
     """Load a reference ``weights_*``/``last`` folder of per-model .pth files.
 

@@ -28,6 +28,7 @@ from movedepth_tpu import pipeline as P
 from movedepth_tpu.data.kitti import (
     KITTIRawDataset,
     KITTIOdomDataset,
+    KITTIDepthDataset,
     readlines,
 )
 from movedepth_tpu.data.loader import Loader
@@ -35,9 +36,17 @@ from movedepth_tpu.parallel import mesh as M
 from movedepth_tpu.train import state as S
 from movedepth_tpu.train import checkpoints as C
 from movedepth_tpu.train.logging import MetricsLogger
-from movedepth_tpu.train.torch_import import load_reference_checkpoint
+from movedepth_tpu.train.torch_import import (
+    load_reference_checkpoint,
+    load_imagenet_encoders,
+)
 
-DATASETS = {"kitti": KITTIRawDataset, "kitti_odom": KITTIOdomDataset}
+DATASETS = {
+    "kitti": KITTIRawDataset,
+    "kitti_odom": KITTIOdomDataset,
+    "kitti_depth": KITTIDepthDataset,  # annotated-GT variant
+    # (reference: trainer.py:151-153)
+}
 
 
 def garg_depth_metrics(depth_pred: np.ndarray, depth_gt: np.ndarray) -> Dict:
@@ -125,6 +134,29 @@ class Trainer:
             lambda v, b, rng, uz: P.forward_train(
                 self.models, v, b, cfg, rng, uz, train=False)[1][:2])
 
+        # ImageNet init (reference: trainer.py:67,84 builds each ResNet
+        # encoder with pretrained=weights_init=='pretrained')
+        if cfg.weights_init == "pretrained":
+            converted = load_imagenet_encoders(cfg)
+            if converted:
+                params = dict(self.state.params)
+                stats = dict(self.state.batch_stats)
+                for name, variables in converted.items():
+                    if name not in params:
+                        continue
+                    params[name] = variables["params"]
+                    if "batch_stats" in variables:
+                        stats[name] = variables["batch_stats"]
+                self.state = self.state.replace(params=params,
+                                                batch_stats=stats)
+                if rank == 0:
+                    print(f"ImageNet init: {sorted(converted)}")
+            elif rank == 0:
+                print("WARNING: weights_init='pretrained' but no "
+                      f"pretrain_resnet/resnet{cfg.res_arch}-*.pth found "
+                      "(searched ./pretrain_resnet, $PRETRAIN_RESNET_DIR, "
+                      "repo root) -- falling back to scratch init")
+
         # LOADING (reference: trainer.py:143-147)
         if cfg.load_weights_folder:
             self.load_weights(cfg.load_weights_folder)
@@ -175,9 +207,9 @@ class Trainer:
                     stats[name] = variables["batch_stats"]
             self.state = self.state.replace(params=params, batch_stats=stats)
         else:
-            params = C.restore_partial_params(folder, self.state.params,
-                                              names)
-            self.state = self.state.replace(params=params)
+            params, stats = C.restore_partial_params(
+                folder, self.state.params, self.state.batch_stats, names)
+            self.state = self.state.replace(params=params, batch_stats=stats)
 
     # ------------------------------------------------------------- running
 
@@ -221,6 +253,10 @@ class Trainer:
                 self.logger.log_scalars("train", host_losses, self.step)
                 self.logger.log_images("train", batch, outputs, self.step)
                 self.validate(use_z)
+            if cfg.save_intermediate_models and late and self.rank == 0:
+                # per-step snapshot dirs (reference: trainer.py:291-292)
+                C.save_checkpoint(self.log_path, self.state, self.epoch,
+                                  step=self.step)
             self.step += 1
 
     def validate(self, use_z):

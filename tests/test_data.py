@@ -153,3 +153,25 @@ def test_load_odometry_poses(tmp_path):
     assert poses.shape == (2, 4, 4)
     np.testing.assert_allclose(poses[0, :3, 3], [1, 2, 3])
     np.testing.assert_allclose(poses[0, 3], [0, 0, 0, 1])
+
+
+def test_bundled_split_lists():
+    """The KITTI split lists ship inside the package (gzipped; reference
+    bundles them plain at movedepth/splits/)."""
+    import movedepth_tpu
+    from movedepth_tpu.data.kitti import readlines
+
+    base = os.path.join(os.path.dirname(movedepth_tpu.__file__), "splits")
+    eigen_zhou = readlines(os.path.join(base, "eigen_zhou",
+                                        "train_files.txt"))
+    assert len(eigen_zhou) == 39810
+    assert len(readlines(os.path.join(base, "eigen_zhou",
+                                      "val_files.txt"))) == 4424
+    eigen = readlines(os.path.join(base, "eigen", "test_files.txt"))
+    assert len(eigen) == 697
+    # well-formed "<folder> <index> <side>" lines
+    folder, idx, side = eigen_zhou[0].split()
+    assert side in ("l", "r") and idx.isdigit()
+    for split in ("eigen_benchmark", "eigen_full", "odom", "benchmark",
+                  "monorec"):
+        assert os.path.isdir(os.path.join(base, split))

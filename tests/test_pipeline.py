@@ -145,3 +145,27 @@ def test_forward_infer_bf16_config():
     out = P.forward_infer(models, variables, batch, cfg)
     d = np.asarray(out["depth_mvs"], dtype=np.float32)
     assert np.isfinite(d).all() and (d > 0).all()
+
+
+def test_mask_mvs_conf_matches_torch_trilinear(rng):
+    """conf mask ordering: trilinear-upsample the prob volume THEN max over
+    depth (reference: trainer.py:420-421) -- max and interpolation don't
+    commute, so this is a golden test vs torch on a random volume."""
+    import torch
+    import torch.nn.functional as F
+
+    b, d, h4, w4 = 2, 8, 16, 24
+    h, w = 4 * h4, 4 * w4
+    prob = rng.uniform(0, 1, (b, d, h4, w4)).astype(np.float32)
+
+    cfg = Config(height=h, width=w, batch_size=b, compute_dtype="float32",
+                 mask_mvs_conf=True, photo_conf=0.5)
+    batch = {"color": jnp.zeros((b, 3, h, w, 3))}
+    mask = P.compute_mvs_masks(jnp.asarray(prob), None, batch, None, None,
+                               cfg)
+
+    up = F.interpolate(torch.from_numpy(prob).unsqueeze(1), [d, h, w],
+                       mode="trilinear", align_corners=True)
+    want = (up.max(2)[0] > cfg.photo_conf).float()[:, 0]  # (B, H, W)
+    np.testing.assert_allclose(np.asarray(mask[..., 0]), want.numpy(),
+                               atol=1e-6)

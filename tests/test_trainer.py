@@ -44,7 +44,7 @@ def make_cfg(tmp_path):
 
 def test_trainer_end_to_end(kitti_tree):
     tmp_path, splits = kitti_tree
-    cfg = make_cfg(tmp_path)
+    cfg = make_cfg(tmp_path).replace(save_intermediate_models=True)
     trainer = Trainer(cfg, split_dir=splits)
     assert len(trainer.train_loader) == 2  # 5 samples, batch 2, drop_last
     trainer.train()
@@ -56,6 +56,9 @@ def test_trainer_end_to_end(kitti_tree):
     assert cfg2.height == 64
     assert os.path.isdir(os.path.join(models_dir, "last"))
     assert os.path.isdir(os.path.join(models_dir, "weights_0"))
+    # per-step snapshot at the late phase (step % 2000 == 0 -> step 0;
+    # reference: trainer.py:291-292)
+    assert os.path.isdir(os.path.join(models_dir, "weights_0_0"))
 
 
 def test_trainer_resume_from_checkpoint(kitti_tree):
@@ -79,4 +82,69 @@ def test_trainer_mono_warm_start(kitti_tree):
         trainer.state.params["mono_encoder"]["conv1"]["kernel"])
     b = np.asarray(restored.params["mono_encoder"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+    # BN running stats must come along with the params (reference restores
+    # full per-model state dicts, trainer.py:833-844)
+    for leaf in ("mean", "var"):
+        sa = np.asarray(
+            trainer.state.batch_stats["mono_encoder"]["bn1"][leaf])
+        sb = np.asarray(restored.batch_stats["mono_encoder"]["bn1"][leaf])
+        np.testing.assert_array_equal(sa, sb)
     assert int(trainer.state.step) == 0  # optimizer NOT restored
+
+
+def test_trainer_imagenet_init(kitti_tree, tmp_path, monkeypatch):
+    """weights_init='pretrained' loads a torchvision-layout .pth into the
+    mono + pose encoders (reference: trainer.py:67,84;
+    networks/resnet_encoder.py:59-104)."""
+    import torch
+
+    from tests.test_torch_import import TorchResNet18Encoder
+    from movedepth_tpu.train import torch_import as TI
+
+    torch.manual_seed(3)
+    enc = TorchResNet18Encoder(num_input_images=1)
+    # torchvision dicts have no 'encoder.' prefix and carry fc.* heads
+    sd = {k[len("encoder."):]: v for k, v in enc.state_dict().items()}
+    sd["fc.weight"] = torch.zeros(1000, 512)
+    sd["fc.bias"] = torch.zeros(1000)
+    pdir = tmp_path / "pretrain_resnet"
+    pdir.mkdir()
+    torch.save(sd, pdir / "resnet18-synthetic.pth")
+    monkeypatch.setenv("PRETRAIN_RESNET_DIR", str(pdir))
+
+    data_path, splits = kitti_tree
+    cfg = make_cfg(data_path).replace(model_name="t_imagenet",
+                                      weights_init="pretrained")
+    trainer = Trainer(cfg, split_dir=splits)
+    want = TI.convert_resnet_encoder(
+        {k: v.numpy() for k, v in sd.items()})
+    got = np.asarray(trainer.state.params["mono_encoder"]["conv1"]["kernel"])
+    np.testing.assert_allclose(
+        got, np.asarray(want["params"]["conv1"]["kernel"]), rtol=1e-6)
+    got_bn = np.asarray(
+        trainer.state.batch_stats["mono_encoder"]["bn1"]["mean"])
+    np.testing.assert_allclose(
+        got_bn, np.asarray(want["batch_stats"]["bn1"]["mean"]), rtol=1e-6)
+    # pose encoder conv1: tiled over 2 stacked frames and halved
+    pose_k = np.asarray(
+        trainer.state.params["pose_encoder"]["conv1"]["kernel"])
+    mono_k = np.asarray(want["params"]["conv1"]["kernel"])
+    assert pose_k.shape[2] == 6
+    np.testing.assert_allclose(pose_k[:, :, :3], mono_k / 2, rtol=1e-6)
+    np.testing.assert_allclose(pose_k[:, :, 3:], mono_k / 2, rtol=1e-6)
+
+
+def test_trainer_scratch_init_unchanged(kitti_tree, monkeypatch):
+    """weights_init='scratch' must not consult pretrain_resnet at all."""
+    from movedepth_tpu.train import torch_import as TI
+
+    def boom(*a, **k):
+        raise AssertionError("scratch init must not look for weights")
+
+    monkeypatch.setattr(TI, "load_imagenet_encoders", boom)
+    monkeypatch.setattr("movedepth_tpu.train.trainer.load_imagenet_encoders",
+                        boom)
+    data_path, splits = kitti_tree
+    cfg = make_cfg(data_path).replace(model_name="t_scratch",
+                                      weights_init="scratch")
+    Trainer(cfg, split_dir=splits)
