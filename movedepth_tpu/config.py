@@ -106,6 +106,10 @@ class Config:
     param_dtype: str = "float32"
     # fused Pallas plane-sweep warp (inference path; auto-disabled off-TPU)
     pallas_warp: bool = True
+    # epipolar row-window width of the sweep kernel's fast path (a host-side
+    # coverage check falls back to the exact full-row kernel when the taps
+    # of any (row, bin-block) exceed the window); 0 disables windowing
+    sweep_row_window: int = 16
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
     # robust training: random frame offsets (reference: mono_dataset rt flag)

@@ -13,7 +13,12 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from movedepth_tpu.models.layers import Conv3x3, ConvBlock, torch_batchnorm
+from movedepth_tpu.models.layers import (
+    Conv3x3,
+    ConvBlock,
+    depth_to_space22,
+    torch_batchnorm,
+)
 from movedepth_tpu.ops.sampling import upsample_nearest_2x
 
 NUM_CH_DEC = (16, 32, 64, 128, 256)
@@ -34,16 +39,31 @@ class DepthDecoder(nn.Module):
     mono_conf: bool = False
     match_conv: bool = False
     mono_bins: int = 128
+    # subpixel-fold the (skip-free) full-resolution stage: upconv_0_1 and
+    # dispconv_0 run at half resolution on 4x channels and finish with a
+    # depth_to_space -- same function, same params, ~4x less MXU time on
+    # the N-padding-bound 16-channel convs. Disabled automatically when a
+    # side-head consumes the fine-resolution stage-0 features.
+    fold_stage0: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, input_features) -> Dict:
         outputs = {}
+        fold0 = (self.fold_stage0 and not self.ddv and not self.mono_conf
+                 and not self.match_conv and 0 in self.scales)
         x = input_features[-1]
         for i in range(4, -1, -1):
             num_ch_out = NUM_CH_DEC[i]
             x = ConvBlock(num_ch_out, dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
+            if i == 0 and fold0:
+                x = ConvBlock(num_ch_out, dtype=self.dtype,
+                              name="upconv_0_1")(x, fold="up2")
+                disp4 = Conv3x3(self.num_output_channels, dtype=self.dtype,
+                                name="dispconv_0")(x, fold="phase2")
+                outputs[("disp", 0)] = nn.sigmoid(depth_to_space22(disp4))
+                continue
             x = upsample_nearest_2x(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)

@@ -35,10 +35,115 @@ def torch_batchnorm(dtype=None, axis_name=None, name="bn"):
     )
 
 
+class _Conv2dParams(nn.Module):
+    """3x3 conv with explicit params, param-tree-identical to ``nn.Conv``
+    (child scope holds ``kernel`` (3,3,Cin,Cout) HWIO + ``bias``).
+
+    Exists so folded callers (`Conv3x3(fold=...)`) can apply a *derived*
+    kernel built from the same parameters -- keeping checkpoint and
+    converter compatibility while changing how the conv is scheduled.
+    """
+
+    features: int
+    in_features: int
+    dtype: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def _run(self, x, kernel, bias):
+        # nn.Conv(dtype=None) promotes input and params to a common dtype
+        dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+            padding="VALID", dimension_numbers=dn)
+        return y + bias.astype(dtype)
+
+    def __call__(self, x):
+        return self._run(x, self.kernel, self.bias)
+
+    def fold_up2(self, x):
+        """conv3x3(reflect_pad(nearest_up_2x(x))) without leaving coarse
+        resolution: the upsample duplicates pixels, so each fine output
+        phase (a, b) reads at most 2x2 coarse taps; all four phases run as
+        ONE 3x3 coarse conv with 4*Cout outputs followed by
+        depth_to_space. Fine-grid reflection padding maps exactly to
+        coarse EDGE padding. 4x fewer conv positions -> 4x less MXU time
+        for the same math (the decoder's narrow-channel convs are MXU
+        N-padding-bound, VERDICT round 1).
+        """
+        w = self.kernel
+        zero = jnp.zeros_like(w[0])
+        # phase row transforms: fine row 2i+a reads coarse rows via
+        # a=0: dy'=0 <- W0, dy'=1 <- W1+W2 ; a=1: dy'=1 <- W0+W1, dy'=2 <- W2
+        rows = [
+            jnp.stack([w[0], w[1] + w[2], zero]),
+            jnp.stack([zero, w[0] + w[1], w[2]]),
+        ]
+        ks = []
+        for a in range(2):
+            wa = rows[a]  # (3, 3, Cin, Cout), u already folded
+            zero_c = jnp.zeros_like(wa[:, 0])
+            cols = [
+                jnp.stack([wa[:, 0], wa[:, 1] + wa[:, 2], zero_c], axis=1),
+                jnp.stack([zero_c, wa[:, 0] + wa[:, 1], wa[:, 2]], axis=1),
+            ]
+            ks.extend(cols)
+        # channel order (a*2 + b)*Cout + co, matching depth_to_space22
+        k3 = jnp.concatenate(ks, axis=-1)  # (3, 3, Cin, 4*Cout)
+        b3 = jnp.tile(self.bias, 4)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        return self._run(x, k3, b3)
+
+    def fold_phase2(self, x):
+        """conv3x3(reflect_pad(z_fine)) where z_fine = depth_to_space(x):
+        run directly on the coarse phase representation. Each fine tap
+        (u, v) of output phase (a, b) maps to one (coarse offset, input
+        phase) pair; fine reflection padding again maps exactly to coarse
+        EDGE padding. Input channels (pa*2+pb)*Cin + ci, output channels
+        (a*2+b)*Cout + co (both the depth_to_space22 order).
+        """
+        w = self.kernel  # (3, 3, Cin_fine, Cout)
+        cin, cout = w.shape[2], w.shape[3]
+        # Sa[a][dy'][pa] = u of the fine tap, or None
+        taps = {
+            (0, 0, 1): 0, (0, 1, 0): 1, (0, 1, 1): 2,
+            (1, 1, 0): 0, (1, 1, 1): 1, (1, 2, 0): 2,
+        }
+        k3 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+        for (a, dy, pa), u in taps.items():
+            for (b, dx, pb), v in taps.items():
+                k3 = k3.at[
+                    dy, dx,
+                    (pa * 2 + pb) * cin:(pa * 2 + pb + 1) * cin,
+                    (a * 2 + b) * cout:(a * 2 + b + 1) * cout,
+                ].add(w[u, v])
+        b3 = jnp.tile(self.bias, 4)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        return self._run(x, k3, b3)
+
+
+def depth_to_space22(x):
+    """(B, H, W, 4*C) with channel order (a*2+b)*C + c -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 class Conv3x3(nn.Module):
     """Pad-then-3x3-convolve, reflection padding by default.
 
-    (reference: movedepth/layers.py:537-553)
+    (reference: movedepth/layers.py:537-553). ``fold`` selects a
+    subpixel-folded schedule that computes the SAME function from the same
+    parameters at coarse resolution (see _Conv2dParams.fold_*).
     """
 
     features: int
@@ -46,24 +151,32 @@ class Conv3x3(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: Optional[str] = None):
+        if fold is not None:
+            assert self.use_refl, "folded schedules assume reflect padding"
+            cin = x.shape[-1] if fold == "up2" else x.shape[-1] // 4
+            conv = _Conv2dParams(self.features, cin, dtype=self.dtype,
+                                 name="conv")
+            return conv.fold_up2(x) if fold == "up2" else conv.fold_phase2(x)
         mode = "reflect" if self.use_refl else "constant"
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
-        return nn.Conv(
-            self.features, (3, 3), padding="VALID", dtype=self.dtype,
-            name="conv",
-        )(x)
+        return _Conv2dParams(self.features, x.shape[-1], dtype=self.dtype,
+                             name="conv")(x)
 
 
 class ConvBlock(nn.Module):
-    """Conv3x3 (reflect) followed by ELU (reference: movedepth/layers.py:521-534)."""
+    """Conv3x3 (reflect) followed by ELU (reference: movedepth/layers.py:521-534).
+
+    ``fold`` passes through to Conv3x3; ELU is elementwise, so it commutes
+    with the folded schedules' depth_to_space.
+    """
 
     features: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
-        x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
+    def __call__(self, x, fold: Optional[str] = None):
+        x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x, fold)
         return nn.elu(x)
 
 

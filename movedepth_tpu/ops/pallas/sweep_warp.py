@@ -13,29 +13,32 @@ built in-kernel by lane-iota comparison. Built from *unclamped* floor
 indices, the one-hots vanish for out-of-frame taps, which reproduces torch
 grid_sample's zeros-padding semantics exactly.
 
-Per grid step (one image row x one block of depth bins), for each bin:
-  hi   = H1 @ srcT                (MXU: (W, W) @ (W, R*C))
-  warp = (hi * Vexp) @ S          (MXU: (W, R*C) @ (R*C, C); S sums over r)
+EPIPOLAR ROW WINDOWING (the v2 speedup): the vertical taps of one output
+row at one depth hypothesis span only a few source rows, so the horizontal
+contraction only needs a narrow row window of the source:
 
-The transposed source feature map stays resident in VMEM across all
-(row, depth) grid steps of a batch element; HBM traffic is O(output)
-instead of the gather's 4-taps-per-point random access. Coordinates are
-fed pre-transposed as (..., W, depth_block) so each bin's coordinate
-vector is a natural sublane column (Mosaic cannot relayout lanes into
-sublanes in-kernel).
+  hi   = H1 @ srcT[:, r0*C : (r0+RW)*C]   (MXU: (W, W) @ (W, RW*C))
+  warp = sum_r (hi * V)[:, r*C:(r+1)*C]   (VPU lane-slice adds over RW)
 
-Performance note: the kernel runs at ~45% MXU utilization and is ~2x the
-best XLA gather formulation; its remaining cost is intrinsic to the dense
-one-hot contraction (W MACs per output tap instead of 4). Future work:
-epipolar-band windowing -- the vertical taps of one output row span only
-a few source rows, so a PrefetchScalarGridSpec whose srcT index_map
-selects a narrow row window per (row, bin-block) would cut the
-contraction ~3x; it needs a correctness fallback for large rotations.
+The per-bin window base r0 is computed IN-KERNEL from the bin's own
+vertical coordinates (min over the row, aligned so the lane offset is a
+multiple of 128) -- no scalar prefetch needed. A host-side replica of the
+same window computation checks coverage; if any (batch, row, bin) window
+cannot cover its in-frame taps (large rotations), `lax.cond` falls back to
+the exact full-row kernel (RW = R). At the shipped geometry (R=48, RW=16)
+the windowed path cuts the dominant contraction 3x.
+
+srcT lane layout is (r*C + c) -- row-major over the window -- so a row
+window is one contiguous, 128-aligned lane slice. The transposed source
+feature map stays resident in VMEM across all (row, depth) grid steps of a
+batch element; HBM traffic is O(output) instead of the gather's
+4-taps-per-point random access.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -44,66 +47,181 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C):
+def _row_align(c: int) -> int:
+    """Window bases must put the lane offset r0*C on a 128 boundary."""
+    return max(1, 128 // math.gcd(c, 128))
+
+
+def _effective_window(rw, r, c):
+    """Window width actually used for a requested ``rw``.
+
+    The base alignment can eat up to align-1 rows of the window, so widen
+    to at least 2*align (rounded up to a power of two for the halving-tree
+    reduction); at >= R the windowing degenerates to the exact full kernel.
+    """
+    if rw is None:
+        return None
+    align = _row_align(c)
+    rw = max(rw, 2 * align)
+    rw = 1 << (rw - 1).bit_length()  # next power of two
+    return None if rw >= r else rw
+
+
+def _window_base(y0i, R, RW, C):
+    """Window base from the floor'd vertical coords of one bin block.
+
+    Must stay in lockstep with `_coverage_ok` (the host-side replica).
+    Taps with no in-frame row are ignored; the base is the min in-frame
+    tap row over the whole block, aligned down so r0*C is a 128-lane
+    boundary, clamped to keep the window inside [0, R).
+    """
+    valid = (y0i >= -1) & (y0i <= R - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(y0i, 0), R - 1))
+    align = _row_align(C)
+    hi = (R - RW) - (R - RW) % align  # aligned clamp bound
+    return jnp.clip(mn - mn % align, 0, hi)
+
+
+def _coverage_ok(sy, R, RW, C):
+    """True iff every bin block's row window covers its in-frame taps.
+
+    Host-side (XLA) replica of the kernel's `_window_base`, reduced over
+    the whole call: cheap elementwise math + reductions on the already
+    materialized coordinate tensor. sy: (..., W*db) flattened per block
+    (one window is shared by all bins of a (row, bin-block) grid step).
+    """
+    y0 = jnp.floor(jnp.clip(sy, -2.0, R + 1.0)).astype(jnp.int32)
+    valid = (y0 >= -1) & (y0 <= R - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(y0, 0), R - 1), axis=-1)
+    mx = jnp.max(jnp.where(valid, jnp.minimum(y0 + 1, R - 1), 0), axis=-1)
+    align = _row_align(C)
+    hi = (R - RW) - (R - RW) % align
+    r0 = jnp.clip(mn - mn % align, 0, hi)
+    return jnp.all(mx <= r0 + RW - 1)
+
+
+def _chunk_sum(hv, c):
+    """Sum an (M, n*c) array over its n lane chunks -> (M, c).
+
+    Halving adds while the chunk count is even (mostly 128-aligned, VPU),
+    then a short linear tail for an odd remainder.
+    """
+    width = hv.shape[1]
+    while width > c and (width // c) % 2 == 0:
+        half = width // 2
+        hv = hv[:, :half] + hv[:, half:width]
+        width = half
+    if width > c:
+        acc = hv[:, 0:c]
+        for off in range(c, width, c):
+            acc = acc + hv[:, off:off + c]
+        hv = acc
+    return hv
+
+
+def _stack_group(db: int, w: int) -> int:
+    """How many bins to stack into one MXU issue (VMEM-bounded)."""
+    return min(db, 4, max(1, 640 // w))
+
+
+def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW):
+    _sweep_body(sx_ref, sy_ref, srcT_ref, None, out_ref, R, C, RW, None)
+
+
+def _warp_corr_kernel(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref,
+                      *, R, C, RW, G):
+    """Warp + fused cost-volume epilogue: correlation with the reference
+    row and the channel-group mean (reference: movedepth/layers.py:792
+    ``warped * ref``; movedepth/trainer.py:359 group reduce). Writes
+    (db, W, G) instead of (db, W, C) -- halves the kernel's HBM output and
+    removes two full passes over the warp volume in XLA. Inference-only
+    (no VJP)."""
+    _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G)
+
+
+def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G):
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
-    srcT = srcT_ref[0]  # (W, C*R): contraction layout is (q, c*R + r)
-    dt = srcT.dtype
+    dt = srcT_ref.dtype
     # MXU default precision is bf16 multiplies; f32 inputs need the 3-pass
     # mode to match the f32 gather path (bf16 features use the fast path)
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
             else lax.Precision.DEFAULT)
 
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    r_io = lax.broadcasted_iota(jnp.int32, (w, R), 1)
-    # sum-over-r matrix: S[c*R + r, c'] = (c == c')
-    cid = lax.broadcasted_iota(jnp.int32, (C * R, C), 0) // R
-    cc = lax.broadcasted_iota(jnp.int32, (C * R, C), 1)
-    s = (cid == cc).astype(dt)
+    # window-relative row index of each lane under the (r*C + c) layout
+    lane_r = lax.broadcasted_iota(jnp.int32, (w, RW * C), 1) // C
 
-    sx_all = sx_ref[0, 0, 0]  # (W, db)
-    sy_all = sy_ref[0, 0, 0]
-    for d in range(db):
-        # clip guards int32 overflow; anything past [-1, size] contributes 0
-        sx = jnp.clip(sx_all[:, d:d + 1], -2.0, w + 1.0)  # (W, 1)
-        sy = jnp.clip(sy_all[:, d:d + 1], -2.0, R + 1.0)
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = sx - x0
-        fy = sy - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
+    # clip guards int32 overflow; anything past [-1, size] contributes 0
+    sx_all = jnp.clip(sx_ref[0, 0, 0], -2.0, w + 1.0)  # (W, db)
+    sy_all = jnp.clip(sy_ref[0, 0, 0], -2.0, R + 1.0)
+    x0 = jnp.floor(sx_all)
+    y0 = jnp.floor(sy_all)
+    fx_all = sx_all - x0
+    fy_all = sy_all - y0
+    x0_all = x0.astype(jnp.int32)
+    y0_all = y0.astype(jnp.int32)
 
-        h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
-              + jnp.where(q == x0i + 1, fx, 0.0))  # (W, Wsrc)
-        hi = jnp.dot(h1.astype(dt), srcT, precision=prec,
-                     preferred_element_type=jnp.float32)  # (W, C*R)
-        # vertical mask built small then lane-tiled C times: under the
-        # (c*R + r) layout tile-repeat IS the correct expansion, replacing
-        # a 10x larger compare-select construction
-        v = (jnp.where(r_io == y0i, 1.0 - fy, 0.0)
-             + jnp.where(r_io == y0i + 1, fy, 0.0))  # (W, R)
-        vexp = pltpu.repeat(v, C, axis=1)  # (W, C*R)
-        warp = jnp.dot((hi * vexp).astype(dt), s, precision=prec,
-                       preferred_element_type=jnp.float32)  # (W, C)
-        out_ref[0, d] = warp.astype(out_ref.dtype)
+    if RW == R:
+        r0 = 0
+        src_w = srcT_ref[0]  # (W, R*C)
+    else:
+        # ONE window for the whole bin block: one scalar reduce + one
+        # dynamic lane slice per grid step instead of per bin
+        r0 = _window_base(y0_all, R, RW, C)
+        src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
+
+    # build the one-hots per bin, stack SG bins along sublanes, contract
+    # once per group: a (SG*W, Wsrc) @ (Wsrc, RW*C) issue pipelines far
+    # better on the MXU than SG separate (W, Wsrc) matmuls. SG is bounded
+    # to keep the (SG*W, RW*C) f32 temporaries inside scoped VMEM (the
+    # one-hot H is (SG*W, W) f32, so wide images force SG down).
+    sg = _stack_group(db, w)
+    for g in range(0, db, sg):
+        sg = min(sg, db - g)  # ragged tail when sg does not divide db
+        h_parts = []
+        v_parts = []
+        for d in range(g, g + sg):
+            fx = fx_all[:, d:d + 1]
+            fy = fy_all[:, d:d + 1]
+            x0i = x0_all[:, d:d + 1]
+            rel = y0_all[:, d:d + 1] - r0  # window-relative tap row
+            h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
+                           + jnp.where(q == x0i + 1, fx, 0.0))  # (W, Wsrc)
+            v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
+                           + jnp.where(lane_r == rel + 1, fy, 0.0))
+        h_all = jnp.concatenate(h_parts, axis=0).astype(dt)  # (SG*W, Wsrc)
+        v_all = jnp.concatenate(v_parts, axis=0)  # (SG*W, RW*C)
+        hi = jnp.dot(h_all, src_w, precision=prec,
+                     preferred_element_type=jnp.float32)  # (SG*W, RW*C)
+        # sum over the window rows: halving lane adds (VPU, mostly
+        # 128-aligned) instead of a (RW*C, C) one-hot matmul whose N=C
+        # pads 4x on the MXU; an odd remainder is added linearly
+        hv = _chunk_sum(hi * v_all, C)
+        if G is None:
+            out_ref[0, g:g + sg] = hv.reshape(sg, w, C).astype(out_ref.dtype)
+        else:
+            # fused epilogue: correlate with the reference row, then the
+            # channel-group mean (C = K*G, mean over K) as halving adds
+            # under the (k*G + g) channel order
+            refrow = ref_ref[0, 0].astype(jnp.float32)  # (W, C)
+            hv = hv * jnp.concatenate([refrow] * sg, axis=0)
+            hv = _chunk_sum(hv, G) * (G / C)
+            out_ref[0, g:g + sg] = hv.reshape(sg, w, G).astype(out_ref.dtype)
 
 
 def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
     """Gradient wrt the source features: transposed one-hot contractions.
 
-    d_srcT[q, cr] = sum_{h,d,x} H1[x, q] * V[x, r(cr)] * g[x, c(cr)]
-    accumulated into one VMEM-resident (W, C*R) block across all (h, d)
-    grid steps of a batch element.
+    d_srcT[q, r*C + c] = sum_{h,d,x} H1[x, q] * V[x, r] * g[x, c]
+    accumulated into one VMEM-resident (W, R*C) block across all (h, d)
+    grid steps of a batch element. Full-row (unwindowed): the backward
+    runs once per train step and its cost is dominated elsewhere.
     """
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
     f32 = jnp.float32
 
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    r_io = lax.broadcasted_iota(jnp.int32, (w, R), 1)
-    # g expansion over r via one-hot matmul: E[c, c'*R + r] = (c == c')
-    cid = lax.broadcasted_iota(jnp.int32, (C, C * R), 1) // R
-    crow = lax.broadcasted_iota(jnp.int32, (C, C * R), 0)
-    e = (cid == crow).astype(f32)
+    lane_r = lax.broadcasted_iota(jnp.int32, (w, R * C), 1) // C
 
     sx_all = sx_ref[0, 0, 0]
     sy_all = sy_ref[0, 0, 0]
@@ -119,11 +237,11 @@ def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
         y0i = y0.astype(jnp.int32)
         h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
               + jnp.where(q == x0i + 1, fx, 0.0))
-        v = (jnp.where(r_io == y0i, 1.0 - fy, 0.0)
-             + jnp.where(r_io == y0i + 1, fy, 0.0))  # (W, R)
-        vexp = pltpu.repeat(v, C, axis=1)  # (W, C*R)
+        vexp = (jnp.where(lane_r == y0i, 1.0 - fy, 0.0)
+                + jnp.where(lane_r == y0i + 1, fy, 0.0))  # (W, R*C)
         g_d = g_ref[0, d].astype(f32)  # (W, C)
-        g_exp = jnp.dot(g_d, e, preferred_element_type=f32)  # (W, C*R)
+        # expand g over r: under (r*C + c) the expansion is a lane tile
+        g_exp = pltpu.repeat(g_d, R, axis=1)  # (W, R*C)
         vg = vexp * g_exp
         # (W_src, R*C) = H1^T @ vg
         acc = acc + lax.dot_general(
@@ -160,14 +278,15 @@ def _coord_specs(w, db):
     ]
 
 
-def _warp_rows_impl(src_feat, sx_t, sy_t, interpret=False):
-    """Forward kernel launch. Returns rows layout (B, H*D, W, C)."""
+def _warp_rows_call(src_feat, sx_t, sy_t, rw, interpret):
+    """One forward pallas_call at window width rw (rw == R: exact full)."""
     b, r, w, c = src_feat.shape
     _, h, nd, _, db = sx_t.shape
     d = nd * db
-    # (q, c, r) layout: the vertical expansion becomes a lane tile-repeat
-    srcT = jnp.transpose(src_feat, (0, 2, 3, 1)).reshape(b, w, c * r)
-    kernel = functools.partial(_warp_kernel, R=r, C=c)
+    # (q, r*C + c) layout: a row window is one contiguous 128-aligned
+    # lane slice (see module docstring)
+    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
+    kernel = functools.partial(_warp_kernel, R=r, C=c, RW=rw)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h * d, w, c), src_feat.dtype),
@@ -181,6 +300,109 @@ def _warp_rows_impl(src_feat, sx_t, sy_t, interpret=False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx_t, sy_t, srcT)
+
+
+def _window_ladder(rw, r, c):
+    """Window widths to try, narrowest first, ending with the full row."""
+    ladder = []
+    while rw is not None:
+        ladder.append(rw)
+        rw = _effective_window(2 * rw, r, c)
+    return ladder + [r]
+
+
+def _windowed_dispatch(call, sy_t, r, c, rw):
+    """Run ``call(window_width)`` at the narrowest covering window.
+
+    Two-level fallback: rw -> 2*rw -> exact full row. Each step is a
+    host-side coverage check (cheap VPU reductions) + lax.cond, so only
+    one kernel executes; near-misses degrade gracefully instead of paying
+    the full-row contraction.
+    """
+    if rw is None or rw >= r:
+        return call(r)
+    b, h, nd, w, db = sy_t.shape
+    sy_flat = sy_t.reshape(b, h * nd, w * db)
+    ladder = _window_ladder(rw, r, c)
+
+    def build(i):
+        if i == len(ladder) - 1:
+            return lambda: call(ladder[i])
+        ok = _coverage_ok(sy_flat, r, ladder[i], c)
+        return lambda: lax.cond(ok, lambda: call(ladder[i]), build(i + 1))
+
+    return build(0)()
+
+
+def _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret=False):
+    """Forward launch: windowed kernel with graceful full-row fallback.
+
+    Returns rows layout (B, H*D, W, C).
+    """
+    r = src_feat.shape[1]
+    c = src_feat.shape[3]
+    return _windowed_dispatch(
+        lambda width: _warp_rows_call(src_feat, sx_t, sy_t, width,
+                                      interpret),
+        sy_t, r, c, rw)
+
+
+def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, groups,
+                         interpret):
+    """Fused warp+correlate+group-reduce pallas_call at window width rw."""
+    b, r, w, c = src_feat.shape
+    _, h, nd, _, db = sx_t.shape
+    d = nd * db
+    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
+    kernel = functools.partial(_warp_corr_kernel, R=r, C=c, RW=rw, G=groups)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h * d, w, groups),
+                                       src_feat.dtype),
+        grid=(b, h, nd),
+        in_specs=_coord_specs(w, db) + [
+            pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, db, w, groups),
+                               lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sx_t, sy_t, srcT, ref_feat)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "d_block",
+                                             "row_window", "interpret"))
+def sweep_warp_corr(src_feat, ref_feat, sx, sy, groups: int,
+                    d_block: int = 8, row_window: int = 16,
+                    interpret: bool = False):
+    """Plane-sweep cost volume in ONE kernel: warp, correlate, group-mean.
+
+    src_feat/ref_feat: (B, R, W, C) NHWC features; sx, sy: (B, D, H, W)
+    pixel coordinates into src (H == R at the prior scale). Returns
+    (B, D, H, W, G), numerically matching
+    ``reduce_cost_groups(sweep_warp(src, sx, sy) * ref[:, None], groups)``.
+    Inference-only: no VJP is defined (the training path uses `sweep_warp`,
+    whose custom VJP provides the src-feature gradient).
+    """
+    b, r, wsrc, c = src_feat.shape
+    _, d, h, w = sx.shape
+    assert wsrc == w, "source/output widths must match at the prior scale"
+    k = c // groups
+    assert c % groups == 0 and k & (k - 1) == 0, (c, groups)
+    db = min(d_block, d)
+    assert d % db == 0
+    rw = _effective_window(row_window, r, c)
+
+    sx_t = _prep_coords(sx, db)
+    sy_t = _prep_coords(sy, db)
+    out = _windowed_dispatch(
+        lambda width: _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t,
+                                           width, groups, interpret),
+        sy_t, r, c, rw)
+    return jnp.transpose(out.reshape(b, h, d, w, groups), (0, 2, 1, 3, 4))
 
 
 def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
@@ -200,21 +422,21 @@ def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx_t, sy_t, g)
-    dsrc = dsrcT.reshape(b, w, c, r)  # (q, c, r) layout back to NHWC
-    return jnp.transpose(dsrc, (0, 3, 1, 2))
+    dsrc = dsrcT.reshape(b, w, r, c)  # (q, r*C + c) layout back to NHWC
+    return jnp.transpose(dsrc, (0, 2, 1, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _warp_rows(src_feat, sx_t, sy_t, r, c, interpret=False):
-    return _warp_rows_impl(src_feat, sx_t, sy_t, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _warp_rows(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
+    return _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret)
 
 
-def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, interpret=False):
-    out = _warp_rows_impl(src_feat, sx_t, sy_t, interpret)
+def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
+    out = _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret)
     return out, (sx_t, sy_t, jnp.zeros((), src_feat.dtype))
 
 
-def _warp_rows_bwd(r, c, interpret, res, g):
+def _warp_rows_bwd(r, c, rw, interpret, res, g):
     sx_t, sy_t, dtype_carrier = res
     dsrc = _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret)
     return (dsrc.astype(dtype_carrier.dtype), jnp.zeros_like(sx_t),
@@ -224,14 +446,23 @@ def _warp_rows_bwd(r, c, interpret, res, g):
 _warp_rows.defvjp(_warp_rows_fwd, _warp_rows_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("d_block", "interpret"))
-def sweep_warp(src_feat, sx, sy, d_block: int = 8, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("d_block", "row_window", "interpret"))
+def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
+               interpret: bool = False):
     """Warp src features over all depth hypotheses (zeros padding, bilinear).
 
     src_feat: (B, R, W, C) NHWC source features;
     sx, sy:   (B, D, H, W) unnormalized pixel coordinates into src.
     Returns (B, D, H, W, C), numerically matching
     ops.sampling.grid_sample(..., padding='zeros') on the same coords.
+
+    ``row_window`` bounds the per-bin source-row window of the fast path
+    (see module docstring); a host-side coverage check falls back to the
+    exact full-row kernel when any window can't cover its taps, so the
+    result is exact for arbitrary coordinates. Pass None to always use the
+    full kernel.
+
     Differentiable wrt src_feat (custom VJP: transposed one-hot matmuls in
     a second Pallas kernel); coordinates carry no gradient (the reference
     computes the sweep grid under no_grad, movedepth/layers.py:784-790).
@@ -241,10 +472,11 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, interpret: bool = False):
     assert wsrc == w, "source/output widths must match at the prior scale"
     db = min(d_block, d)
     assert d % db == 0
+    rw = _effective_window(row_window, r, c)
 
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
-    out = _warp_rows(src_feat, sx_t, sy_t, r, c, interpret)
+    out = _warp_rows(src_feat, sx_t, sy_t, r, c, rw, interpret)
     return jnp.transpose(out.reshape(b, h, d, w, c), (0, 2, 1, 3, 4))
 
 

@@ -155,14 +155,25 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
         from movedepth_tpu.ops.pallas.sweep_warp import (
             grid_to_pixel,
             sweep_warp,
+            sweep_warp_corr,
         )
+    rw = cfg.sweep_row_window or None
+    k_per_g = ref_match_feat.shape[-1] // cfg.reg3d_c
+    can_fuse = not train and k_per_g & (k_per_g - 1) == 0
     costs = []
     for f_idx in range(len(cfg.matching_ids) - 1):
         if use_pallas:
             h, w = depth_bins.shape[-2], depth_bins.shape[-1]
             grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
             sx, sy = grid_to_pixel(grid, h, w)
-            warped = sweep_warp(src_match_feats[f_idx], sx, sy)
+            if can_fuse:
+                # inference: warp+correlate+group-reduce in ONE kernel
+                costs.append(sweep_warp_corr(
+                    src_match_feats[f_idx], ref_match_feat, sx, sy,
+                    cfg.reg3d_c, row_window=rw))
+                continue
+            warped = sweep_warp(src_match_feats[f_idx], sx, sy,
+                                row_window=rw)
             cv = warped * ref_match_feat[:, None]
         else:
             cv = plane_sweep_costvol(
@@ -204,14 +215,25 @@ def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
 
 # ----------------------------------------------------------------- loss core
 
-def _multi_warp(src, grid):
+def _multi_warp(src, grid, use_pallas=False):
     """Warp one source image stack with K grids each: (B, K, H, W, 3).
 
-    Chunked over the batch so each gather op stays under ~6M rows: XLA's
-    TPU gather lowering degrades ~3x beyond that (measured cliff between
-    8 and 16 effective batch at 6 x 192x640), so large batches run as a
-    lax.map over fixed-size chunks -- restores linear batch scaling.
+    On TPU (``use_pallas``) this is the one-hot MXU kernel with a custom
+    coordinate VJP (ops/pallas/image_warp.py) -- the depth/pose training
+    signal flows through the grid here, unlike the cost-volume sweep.
+
+    XLA fallback: chunked over the batch so each gather op stays under
+    ~6M rows: XLA's TPU gather lowering degrades ~3x beyond that (measured
+    cliff between 8 and 16 effective batch at 6 x 192x640), so large
+    batches run as a lax.map over fixed-size chunks -- restores linear
+    batch scaling.
     """
+    if use_pallas:
+        from movedepth_tpu.ops.pallas.image_warp import warp_images_border
+        from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
+        h, w = src.shape[1], src.shape[2]
+        sx, sy = grid_to_pixel(grid, h, w)
+        return warp_images_border(src, sx, sy)
     b = src.shape[0]
     chunk = max(d for d in range(1, min(8, b) + 1) if b % d == 0)
 
@@ -280,13 +302,14 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         T_det = lax.stop_gradient(T_live)
         T_all = jnp.stack([T_live] * nsc + [T_det, T_det], axis=1)
         grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
-        # NOTE: these full-res warps are the train step's hottest op and are
-        # gather ROW-RATE-bound on TPU (~127M rows/s; narrower/bf16 rows do
-        # not help). Next optimization: a border-mode one-hot MXU warp with
-        # a coordinate VJP (the depth/pose training signal flows through the
-        # grid here, unlike the cost-volume sweep).
+        # These full-res warps are the train step's hottest op. The XLA
+        # gather formulation is ROW-RATE-bound on TPU (~127M rows/s), so
+        # on TPU they run as the border-mode one-hot MXU kernel with a
+        # custom coordinate VJP (ops/pallas/image_warp.py).
         src = color[:, fid_to_idx[f]]
-        warped = _multi_warp(src, grid)  # (B, K, H, W, 3)
+        warped = _multi_warp(src, grid,
+                             use_pallas=_use_pallas_warp(cfg, False))
+        # (B, K, H, W, 3)
         warped_log[f] = warped[:, 0]
 
         wf = warped.reshape(b * k_all, h, w, 3)

@@ -1,0 +1,99 @@
+"""Pallas full-res image warp: parity + coordinate-gradient tests vs the
+XLA gather path (interpret mode on CPU; same code compiles to Mosaic on
+TPU). Reference semantics: F.grid_sample(..., padding_mode='border',
+align_corners=True) at movedepth/trainer.py:504,526,577."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from movedepth_tpu.ops.pallas.image_warp import (
+    _gather_warp,
+    warp_images_border,
+)
+
+
+def _coords(rng, b, d, r, w, off=3.0):
+    ys, xs = np.meshgrid(np.arange(r), np.arange(w), indexing="ij")
+    sx = (np.broadcast_to(xs, (b, d, r, w))
+          + rng.uniform(-off, off, (b, d, 1, 1))).astype(np.float32)
+    sy = (np.broadcast_to(ys, (b, d, r, w))
+          + rng.uniform(-off, off, (b, d, 1, 1))).astype(np.float32)
+    return jnp.asarray(sx), jnp.asarray(sy)
+
+
+def test_image_warp_precise_matches_gather(rng):
+    b, d, r, w, c = 2, 3, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    want = _gather_warp(src, jnp.clip(sx, 0, w - 1.0),
+                        jnp.clip(sy, 0, r - 1.0))
+    got = warp_images_border(src, sx, sy, precise=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_image_warp_bf16x2_close_to_gather(rng):
+    """Production mode: bf16 hi/lo split; error bounded by the bf16
+    rounding of the bilinear weights (~2^-9 on [0,1] images)."""
+    b, d, r, w, c = 1, 2, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    want = _gather_warp(src, jnp.clip(sx, 0, w - 1.0),
+                        jnp.clip(sy, 0, r - 1.0))
+    got = warp_images_border(src, sx, sy, precise=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=8e-3)
+
+
+def test_image_warp_coord_gradient_matches_gather(rng):
+    b, d, r, w, c = 1, 2, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    tgt = jnp.asarray(
+        rng.uniform(0, 1, (b, d, r, w, c)).astype(np.float32))
+
+    def loss_pallas(a, b2):
+        out = warp_images_border(src, a, b2, precise=True, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_gather(a, b2):
+        out = _gather_warp(src, jnp.clip(a, 0, w - 1.0),
+                           jnp.clip(b2, 0, r - 1.0))
+        return jnp.sum((out - tgt) ** 2)
+
+    gx_p, gy_p = jax.grad(loss_pallas, (0, 1))(sx, sy)
+    gx_g, gy_g = jax.grad(loss_gather, (0, 1))(sx, sy)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_g),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_g),
+                               atol=1e-4)
+
+
+def test_image_warp_border_gradient_masked_outside(rng):
+    """Coordinates clamped at the border: zero coordinate gradient, and
+    the forward result equals edge sampling (border padding)."""
+    b, d, r, w, c = 1, 1, 32, 48, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx = jnp.full((b, d, r, w), -10.0)
+    sy = jnp.full((b, d, r, w), 5.0)
+    out = warp_images_border(src, sx, sy, precise=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0],
+        np.broadcast_to(np.asarray(src[0, 5, 0]), (r, w, c)), atol=1e-6)
+    g = jax.grad(lambda a: jnp.sum(
+        warp_images_border(src, a, sy, precise=True, interpret=True)))(sx)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_image_warp_fallback_large_spread(rng):
+    """Coordinates spanning the whole image vertically within one row:
+    the windowed path cannot cover, the gather fallback must be exact."""
+    b, d, r, w, c = 1, 2, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, d, r, w))
+    sy = jnp.broadcast_to(
+        jnp.linspace(0.0, r - 1.0, w, dtype=jnp.float32)[None, None, None],
+        (b, d, r, w))
+    want = _gather_warp(src, sx, sy)
+    got = warp_images_border(src, sx, sy, precise=True, interpret=True)
+    # jit vs eager float reassociation only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -58,6 +58,33 @@ def test_depth_decoder_shapes():
         assert (v >= 0).all() and (v <= 1).all()
 
 
+def test_depth_decoder_fold_stage0_parity():
+    """The subpixel-folded stage 0 computes the same function from the
+    same parameters as the reference schedule (upsample -> conv -> conv).
+    """
+    rng = np.random.default_rng(3)
+    chans = encoder_channels(18)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (2, H // 2 ** (i + 1),
+                                      W // 2 ** (i + 1), c))
+                    .astype(np.float32))
+        for i, c in enumerate(chans)
+    ]
+    folded = DepthDecoder(num_ch_enc=chans, fold_stage0=True,
+                          dtype=jnp.float32)
+    plain = DepthDecoder(num_ch_enc=chans, fold_stage0=False,
+                         dtype=jnp.float32)
+    variables = folded.init(KEY, feats)
+    # identical parameter trees: the fold changes the schedule, not params
+    assert (jax.tree.map(lambda a: a.shape, variables)
+            == jax.tree.map(lambda a: a.shape, plain.init(KEY, feats)))
+    of = folded.apply(variables, feats)
+    op = plain.apply(variables, feats)
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(of[("disp", s)]),
+                                   np.asarray(op[("disp", s)]), atol=5e-6)
+
+
 def test_pose_decoder_shapes_and_scale():
     feats = [[jnp.ones((3, H // 32, W // 32, 512))]]
     model = PoseDecoder(num_ch_enc=encoder_channels(18), dtype=jnp.float32)

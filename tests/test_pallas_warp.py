@@ -84,6 +84,74 @@ def test_sweep_warp_gradient_matches_gather_path(rng):
                                atol=1e-3, rtol=1e-4)
 
 
+def test_sweep_warp_windowed_matches_gather_path(rng):
+    """R > row_window with smooth coords: the windowed fast path is exact."""
+    b, d, h, w, c = 1, 8, 48, 64, 8
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    K = np.tile(
+        np.array([[0.58 * w, 0, 0.5 * w, 0], [0, 1.92 * h, 0.5 * h, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32), (b, 1, 1))
+    invK = np.linalg.pinv(K)
+    yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None]
+    prior = np.broadcast_to(8.0 + 40.0 * yy, (b, h, w)).astype(np.float32)
+    bins = schedule_depth_bins(jnp.asarray(prior), d, 0.3)
+    T = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    T[:, 2, 3] = 0.5
+    T[:, 1, 3] = 0.02
+    ref = jnp.ones_like(src)
+    want = plane_sweep_costvol(ref, src, jnp.asarray(K), jnp.asarray(invK),
+                               bins, jnp.asarray(T))
+    grid = sweep_grid(bins, jnp.asarray(K), jnp.asarray(invK),
+                      jnp.asarray(T))
+    sx, sy = grid_to_pixel(grid, h, w)
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_ok,
+        _effective_window,
+    )
+    rw = _effective_window(16, h, c)
+    assert rw is not None and bool(_coverage_ok(sy, h, rw, c))  # fast path
+    got = sweep_warp(src, sx, sy, row_window=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sweep_warp_window_fallback_is_exact(rng):
+    """Coordinates whose taps exceed any window must fall back, exactly."""
+    b, d, h, w, c = 1, 8, 48, 64, 8
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    # vertical coords sweeping the whole image within one row
+    sx = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32), (b, d, h, w))
+    sy = jnp.broadcast_to(
+        jnp.linspace(0.0, h - 1.0, w, dtype=jnp.float32)[None, None, None],
+        (b, d, h, w))
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_ok,
+        _effective_window,
+    )
+    rw = _effective_window(16, h, c)
+    assert rw is not None and not bool(_coverage_ok(sy, h, rw, c))
+    want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    got = sweep_warp(src, sx, sy, row_window=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sweep_warp_corr_matches_unfused(rng):
+    """Fused warp+correlate+group-reduce == unfused composition."""
+    from movedepth_tpu.ops.costvolume import reduce_cost_groups
+    from movedepth_tpu.ops.pallas.sweep_warp import sweep_warp_corr
+
+    src, K, invK, bins, T = _setup(rng, b=2, d=8, h=16, w=32, c=8)
+    h, w = src.shape[1], src.shape[2]
+    ref = jnp.asarray(rng.normal(0, 1, src.shape).astype(np.float32))
+    grid = sweep_grid(bins, K, invK, T)
+    sx, sy = grid_to_pixel(grid, h, w)
+    warped = sweep_warp(src, sx, sy, interpret=True)
+    want = reduce_cost_groups(warped * ref[:, None], 4)
+    got = sweep_warp_corr(src, ref, sx, sy, 4, row_window=16,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_sweep_warp_no_gradient_to_coords(rng):
     src, K, invK, bins, T = _setup(rng, b=1, d=8, h=8, w=16, c=8)
     h, w = src.shape[1], src.shape[2]
