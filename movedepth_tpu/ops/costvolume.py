@@ -139,15 +139,14 @@ def sweep_grid(depth_bins, K, inv_K, T, eps=1e-7):
     return lax.stop_gradient(grid)
 
 
-def plane_sweep_costvol(ref_feat, src_feat, K, inv_K, depth_bins, T):
-    """Warp src features over D depth hypotheses and correlate with ref.
+def plane_sweep_warp(src_feat, K, inv_K, depth_bins, T):
+    """Warp src features over D depth hypotheses (XLA gather path).
 
-    ref_feat/src_feat: (B, H, W, C); K/inv_K/T: (B, 4, 4);
-    depth_bins: (B, D, H, W). Returns (B, D, H, W, C) = warped * ref.
-    Equivalent to the reference's generate_costvol
-    (movedepth/layers.py:778-794: zeros padding, align_corners=True,
-    bilinear) but with the batch loop vmapped away and the D hypotheses
-    handled as a vectorized axis instead of a fake batch.
+    src_feat: (B, H, W, C); K/inv_K/T: (B, 4, 4); depth_bins: (B, D, H, W).
+    Returns (B, D, H, W, C) zeros-padded bilinear warps -- the warp half of
+    the reference's generate_costvol (movedepth/layers.py:778-792), exposed
+    separately so the masked-augmentation pass can reuse ONE warp for both
+    correlations (the reference recomputes it, trainer.py:374-403).
     """
     grid = sweep_grid(depth_bins, K, inv_K, T)  # (B, D, H, W, 2)
 
@@ -158,7 +157,20 @@ def plane_sweep_costvol(ref_feat, src_feat, K, inv_K, depth_bins, T):
                                    corners=corners)
         )(g)
 
-    warped = jax.vmap(one)(src_feat, grid)  # (B, D, H, W, C)
+    return jax.vmap(one)(src_feat, grid)  # (B, D, H, W, C)
+
+
+def plane_sweep_costvol(ref_feat, src_feat, K, inv_K, depth_bins, T):
+    """Warp src features over D depth hypotheses and correlate with ref.
+
+    ref_feat/src_feat: (B, H, W, C); K/inv_K/T: (B, 4, 4);
+    depth_bins: (B, D, H, W). Returns (B, D, H, W, C) = warped * ref.
+    Equivalent to the reference's generate_costvol
+    (movedepth/layers.py:778-794: zeros padding, align_corners=True,
+    bilinear) but with the batch loop vmapped away and the D hypotheses
+    handled as a vectorized axis instead of a fake batch.
+    """
+    warped = plane_sweep_warp(src_feat, K, inv_K, depth_bins, T)
     return warped * ref_feat[:, None]
 
 

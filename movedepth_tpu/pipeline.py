@@ -196,6 +196,61 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
     return depth_mvs, cost_prob, updates
 
 
+def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
+                       depth_bins, K_p, invK_p, rel, cfg: Config,
+                       train: bool):
+    """Main + masked-augmentation cost volumes sharing ONE sweep warp.
+
+    The reference recomputes the full plane-sweep for the masked pass
+    (movedepth/trainer.py:374-403), but the warp depends only on the
+    SOURCE features and the coordinates -- the reference feature enters
+    as a per-pixel multiply. So: warp once (the expensive part), correlate
+    with both refs, and regularize each volume separately (keeping the
+    reference's per-pass BN normalization semantics).
+    Returns (depth_a, cost_prob_a, depth_b, batch_stats updates).
+    """
+    use_pallas = _use_pallas_warp(cfg, train)
+    if use_pallas:
+        from movedepth_tpu.ops.costvolume import sweep_grid
+        from movedepth_tpu.ops.pallas.sweep_warp import (
+            grid_to_pixel,
+            sweep_warp,
+        )
+    rw = cfg.sweep_row_window or None
+    costs_a = []
+    costs_b = []
+    for f_idx in range(len(cfg.matching_ids) - 1):
+        if use_pallas:
+            h, w = depth_bins.shape[-2], depth_bins.shape[-1]
+            grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
+            sx, sy = grid_to_pixel(grid, h, w)
+            warped = sweep_warp(src_match_feats[f_idx], sx, sy,
+                                row_window=rw)
+        else:
+            from movedepth_tpu.ops.costvolume import plane_sweep_warp
+            warped = plane_sweep_warp(src_match_feats[f_idx], K_p, invK_p,
+                                      depth_bins, rel[:, f_idx])
+        costs_a.append(reduce_cost_groups(warped * ref_a[:, None],
+                                          cfg.reg3d_c))
+        costs_b.append(reduce_cost_groups(warped * ref_b[:, None],
+                                          cfg.reg3d_c))
+    updates = {}
+    out = []
+    for cor in (fuse_frames(costs_a), fuse_frames(costs_b)):
+        cor = constrain(cor, "data", "model")
+        logits, bs = _apply(models, variables, "reg3d", cor, train=train)
+        cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
+        depth = localmax(
+            cost_prob, cfg.norm_radius, cfg.num_depth_bins,
+            1.0 / depth_bins[:, -1], 1.0 / depth_bins[:, 0],
+        )
+        out.append((depth, cost_prob))
+        if bs is not None:
+            updates["reg3d"] = bs  # last write wins, like the reference's
+            # second sequential pass (see PARITY.md)
+    return out[0][0], out[0][1], out[1][0], updates
+
+
 def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
     """Epoch-gated bin scheduler (reference: movedepth/trainer.py:333-346).
 
@@ -315,12 +370,19 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         wf = warped.reshape(b * k_all, h, w, 3)
         tf = jnp.broadcast_to(target[:, None],
                               (b, k_all, h, w, 3)).reshape(wf.shape)
-        l1 = jnp.mean(jnp.abs(tf - wf), axis=-1, keepdims=True)
-        if cfg.no_ssim:
-            rp = l1
-        else:
+
+        # rematerialized: the SSIM tail is cheap, gather-free elementwise
+        # math whose intermediates (~6 full-res tensors per source frame)
+        # otherwise dominate the backward's activation footprint
+        @jax.checkpoint
+        def _reproj(wf, tf):
+            l1 = jnp.mean(jnp.abs(tf - wf), axis=-1, keepdims=True)
+            if cfg.no_ssim:
+                return l1, l1
             sm = jnp.mean(ssim(wf, tf), axis=-1, keepdims=True)
-            rp = cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1
+            return cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1, l1
+
+        rp, l1 = _reproj(wf, tf)
         rp = rp.reshape(b, k_all, h, w, 1)
         l1 = l1.reshape(b, k_all, h, w, 1)
         mono_reproj.append(rp[:, :nsc])
@@ -494,18 +556,9 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     K_p = scale_intrinsics(batch["K"], cfg.prior_scale)
     invK_p = jnp.linalg.inv(K_p)
 
-    # 6. cost volume pass 1 + uncertainty (trainer.py:349-371)
-    depth_mvs, cost_prob, upd = mvs_depth_from_features(
-        models, variables, ref_match, src_matches, bins, K_p, invK_p, rel,
-        cfg, train=train)
-    updates.update(upd)
-    ent = entropy(cost_prob, axis=1, keepdims=True)  # (B, 1, h, w)
-    trust_mono, bs = _apply(models, variables, "mask_cnn",
-                            jnp.transpose(ent, (0, 2, 3, 1)), train=train)
-    if bs is not None:
-        updates["mask_cnn"] = bs
-
-    # 7. masked-augmentation consistency pass (trainer.py:374-403)
+    # 6+7. cost volume pass 1 + masked-augmentation pass (trainer.py:
+    # 349-371, 374-403) -- ONE shared sweep warp, both correlations, one
+    # 2B-batched regularizer call (see mvs_depth_two_pass)
     rng, sub = jax.random.split(rng)
     masked_img, aug_mask = random_image_mask(sub, color_aug[:, 0],
                                              (h // 3, w // 3))
@@ -513,10 +566,15 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
                               train=train)
     if bs is not None:
         updates["mvs_encoder"] = bs
-    depth_mvs_aug, _, upd = mvs_depth_from_features(
-        models, variables, ref_aug, src_matches, bins, K_p, invK_p, rel,
-        cfg, train=train)
+    depth_mvs, cost_prob, depth_mvs_aug, upd = mvs_depth_two_pass(
+        models, variables, ref_match, ref_aug, src_matches, bins, K_p,
+        invK_p, rel, cfg, train=train)
     updates.update(upd)
+    ent = entropy(cost_prob, axis=1, keepdims=True)  # (B, 1, h, w)
+    trust_mono, bs = _apply(models, variables, "mask_cnn",
+                            jnp.transpose(ent, (0, 2, 3, 1)), train=train)
+    if bs is not None:
+        updates["mask_cnn"] = bs
     hw_low = depth_mvs_aug.shape[1:3]
     low_mask = resize_bilinear(aug_mask, hw_low, align_corners=True)
     low_mask = (jnp.sum(low_mask, axis=-1) > 0).astype(depth_mvs.dtype)
