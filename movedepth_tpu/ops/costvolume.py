@@ -231,13 +231,22 @@ def localmax(cost_prob, radius, ndepth, inv_depth_min, inv_depth_max):
     sites trainer.py:371,396, evaluate_depth.py:245).
 
     inv_depth_min / inv_depth_max: (B, H, W).
+
+    TPU note: the obvious ``take_along_axis(cost_prob, window)`` is a
+    row-rate-bound gather (B*(2r+1)*H*W rows); instead each bin's window
+    multiplicity c_d = #{offsets o: clip(argmax+o) == d} is built by
+    (2r+1) broadcast comparisons over the small D axis -- pure elementwise
+    math that XLA fuses, mathematically identical (window slots that clip
+    onto an edge bin count that bin multiple times, exactly like the
+    clipped gather).
     """
-    idx0 = jnp.argmax(cost_prob, axis=1)  # (B, H, W)
-    offsets = jnp.arange(-radius, radius + 1)
-    win = idx0[:, None] + offsets[:, None, None]  # (B, 2r+1, H, W)
-    win = jnp.clip(win, 0, ndepth - 1)
-    probs = jnp.take_along_axis(cost_prob, win, axis=1)
-    num = jnp.sum(win.astype(cost_prob.dtype) * probs, axis=1)
-    den = 1e-6 + jnp.sum(probs, axis=1)
+    idx0 = jnp.argmax(cost_prob, axis=1)[:, None]  # (B, 1, H, W)
+    d_iota = jnp.arange(ndepth)[None, :, None, None]
+    cnt = 0
+    for o in range(-radius, radius + 1):
+        cnt = cnt + (d_iota == jnp.clip(idx0 + o, 0, ndepth - 1))
+    wprob = cost_prob * cnt.astype(cost_prob.dtype)  # (B, D, H, W)
+    num = jnp.sum(d_iota.astype(cost_prob.dtype) * wprob, axis=1)
+    den = 1e-6 + jnp.sum(wprob, axis=1)
     norm = (num / den) / (ndepth - 1)  # (B, H, W)
     return 1.0 / (inv_depth_min + norm * (inv_depth_max - inv_depth_min))

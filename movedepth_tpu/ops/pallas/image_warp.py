@@ -78,7 +78,7 @@ def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dsx_ref, dsy_ref,
         src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
 
     one = jnp.float32(1.0)
-    sg = _stack_group(db, w)
+    sg = _stack_group(db, 1, w)
     for g in range(0, db, sg):
         sg = min(sg, db - g)
         h_parts, dh_parts, v_parts, dv_parts, g_parts = [], [], [], [], []
@@ -95,7 +95,7 @@ def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dsx_ref, dsy_ref,
                            + jnp.where(lane_r == rel + 1, fy, 0.0))
             dv_parts.append(jnp.where(lane_r == rel + 1, one, 0.0)
                             - jnp.where(lane_r == rel, one, 0.0))
-            g_parts.append(pltpu.repeat(g_ref[0, d].astype(jnp.float32),
+            g_parts.append(pltpu.repeat(g_ref[0, d, 0].astype(jnp.float32),
                                         RW, axis=1))  # (W, RW*C)
         h_all = jnp.concatenate(h_parts, axis=0).astype(dt)
         dh_all = jnp.concatenate(dh_parts, axis=0).astype(dt)
@@ -127,11 +127,11 @@ def _coord_bwd_call(src_feat, sx_t, sy_t, g, rw, interpret):
         kernel,
         out_shape=(coord_out, coord_out),
         grid=(b, h, nd),
-        in_specs=_coord_specs(w, db) + [
+        in_specs=_coord_specs(w, db, 1) + [
             pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, db, w, c),
-                         lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+            pl.BlockSpec((1, db, 1, w, c),
+                         lambda bi, hi, di: (bi, di, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(coord_spec, coord_spec),
@@ -142,11 +142,11 @@ def _coord_bwd_call(src_feat, sx_t, sy_t, g, rw, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _warp_rows_cdiff(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
     """Windowed warp, differentiable wrt the COORDINATES (src is data)."""
-    return _warp_rows_call(src_feat, sx_t, sy_t, rw, interpret)
+    return _warp_rows_call(src_feat, sx_t, sy_t, rw, 1, interpret)
 
 
 def _warp_rows_cdiff_fwd(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
-    out = _warp_rows_call(src_feat, sx_t, sy_t, rw, interpret)
+    out = _warp_rows_call(src_feat, sx_t, sy_t, rw, 1, interpret)
     return out, (src_feat, sx_t, sy_t)
 
 
@@ -222,8 +222,7 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
 
     def pallas_path(width):
         out = _warp_rows_cdiff(srcp, sx_t, sy_t, r, cp, width, interpret)
-        out = out.astype(jnp.float32).reshape(b, h, d, w, cp)
-        out = jnp.transpose(out, (0, 2, 1, 3, 4))
+        out = out.astype(jnp.float32)  # (B, D, H, W, Cp)
         if not precise:
             out = out[..., :c4] + out[..., c4:]
         return out[..., :c]
@@ -234,10 +233,9 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     rw2 = _effective_window(2 * rw, r, cp)
     if rw2 is not None:
         ladder.append(rw2)
-    sy_flat = sy_t.reshape(b, -1, w * db)
     out = lambda: _gather_warp(src, sxc, syc)
     for width in reversed(ladder):
-        ok = _coverage_ok(sy_flat, r, width, cp)
+        ok = _coverage_ok(sy_t, r, width, cp, 1)
         out = (lambda ok=ok, width=width, nxt=out:
                lax.cond(ok, lambda: pallas_path(width), nxt))
     return out()

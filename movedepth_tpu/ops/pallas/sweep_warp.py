@@ -20,13 +20,19 @@ contraction only needs a narrow row window of the source:
   hi   = H1 @ srcT[:, r0*C : (r0+RW)*C]   (MXU: (W, W) @ (W, RW*C))
   warp = sum_r (hi * V)[:, r*C:(r+1)*C]   (VPU lane-slice adds over RW)
 
-The per-bin window base r0 is computed IN-KERNEL from the bin's own
-vertical coordinates (min over the row, aligned so the lane offset is a
+The per-block window base r0 is computed IN-KERNEL from the block's own
+vertical coordinates (min over the block, aligned so the lane offset is a
 multiple of 128) -- no scalar prefetch needed. A host-side replica of the
-same window computation checks coverage; if any (batch, row, bin) window
-cannot cover its in-frame taps (large rotations), `lax.cond` falls back to
-the exact full-row kernel (RW = R). At the shipped geometry (R=48, RW=16)
-the windowed path cuts the dominant contraction 3x.
+same window computation checks coverage; if any block's window cannot
+cover its in-frame taps (large rotations), `lax.cond` falls back through a
+widening ladder to the exact full-row kernel (RW = R).
+
+MULTI-ROW BLOCKS (the v3 speedup): one grid step handles ``rb`` output
+rows x ``db`` depth bins. The per-step MXU work at one (row, bin) is only
+~1 us, so a 1-row grid is issue-overhead-bound; stacking rb rows and sg
+bins into one (sg*rb*W, W) @ (W, RW*C) contraction amortizes the fixed
+cost ~rb*sg-fold. Outputs are written directly in (B, D, H, W, C) order
+-- no post-kernel transpose of the half-GB volume.
 
 srcT lane layout is (r*C + c) -- row-major over the window -- so a row
 window is one contiguous, 128-aligned lane slice. The transposed source
@@ -67,8 +73,26 @@ def _effective_window(rw, r, c):
     return None if rw >= r else rw
 
 
+def _row_block(h: int, rb: int) -> int:
+    """Output rows per grid step: the largest divisor of h that is <= rb."""
+    while h % rb:
+        rb -= 1
+    return rb
+
+
+def _stack_group(db: int, rb: int, w: int) -> int:
+    """Bins stacked into one MXU issue, bounding M = sg*rb*W.
+
+    The f32 temporaries (one-hot V parts + their concat, the MXU result
+    and the V product, each M*2KB at RW*C = 512) must all fit the 16 MB
+    scoped-VMEM limit simultaneously -- Mosaic does not reuse stack
+    slots across unrolled iterations. Measured on v5e: M = 640 compiles
+    (the round-1 kernel's working point), M = 1280 does not (18.1 MB)."""
+    return min(db, 4, max(1, 640 // (rb * w)))
+
+
 def _window_base(y0i, R, RW, C):
-    """Window base from the floor'd vertical coords of one bin block.
+    """Window base from the floor'd vertical coords of one block.
 
     Must stay in lockstep with `_coverage_ok` (the host-side replica).
     Taps with no in-frame row are ignored; the base is the min in-frame
@@ -82,15 +106,19 @@ def _window_base(y0i, R, RW, C):
     return jnp.clip(mn - mn % align, 0, hi)
 
 
-def _coverage_ok(sy, R, RW, C):
-    """True iff every bin block's row window covers its in-frame taps.
+def _coverage_ok(sy_t, R, RW, C, rb):
+    """True iff every block's row window covers its in-frame taps.
 
     Host-side (XLA) replica of the kernel's `_window_base`, reduced over
     the whole call: cheap elementwise math + reductions on the already
-    materialized coordinate tensor. sy: (..., W*db) flattened per block
-    (one window is shared by all bins of a (row, bin-block) grid step).
+    materialized coordinate tensor. sy_t: (B, H, nd, W, db); one window is
+    shared by all (rb rows x db bins) of a (row-block, bin-block) step.
     """
-    y0 = jnp.floor(jnp.clip(sy, -2.0, R + 1.0)).astype(jnp.int32)
+    b, h, nd, w, db = sy_t.shape
+    blocks = jnp.transpose(sy_t.reshape(b, h // rb, rb, nd, w, db),
+                           (0, 1, 3, 2, 4, 5)).reshape(
+        b, (h // rb) * nd, rb * w * db)
+    y0 = jnp.floor(jnp.clip(blocks, -2.0, R + 1.0)).astype(jnp.int32)
     valid = (y0 >= -1) & (y0 <= R - 1)
     mn = jnp.min(jnp.where(valid, jnp.maximum(y0, 0), R - 1), axis=-1)
     mx = jnp.max(jnp.where(valid, jnp.minimum(y0 + 1, R - 1), 0), axis=-1)
@@ -119,27 +147,22 @@ def _chunk_sum(hv, c):
     return hv
 
 
-def _stack_group(db: int, w: int) -> int:
-    """How many bins to stack into one MXU issue (VMEM-bounded)."""
-    return min(db, 4, max(1, 640 // w))
-
-
-def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW):
-    _sweep_body(sx_ref, sy_ref, srcT_ref, None, out_ref, R, C, RW, None)
+def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, RB):
+    _sweep_body(sx_ref, sy_ref, srcT_ref, None, out_ref, R, C, RW, RB, None)
 
 
 def _warp_corr_kernel(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref,
-                      *, R, C, RW, G):
+                      *, R, C, RW, RB, G):
     """Warp + fused cost-volume epilogue: correlation with the reference
-    row and the channel-group mean (reference: movedepth/layers.py:792
+    rows and the channel-group mean (reference: movedepth/layers.py:792
     ``warped * ref``; movedepth/trainer.py:359 group reduce). Writes
-    (db, W, G) instead of (db, W, C) -- halves the kernel's HBM output and
-    removes two full passes over the warp volume in XLA. Inference-only
-    (no VJP)."""
-    _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G)
+    (db, rb, W, G) instead of (db, rb, W, C) -- halves the kernel's HBM
+    output and removes two full passes over the warp volume in XLA.
+    Inference-only (no VJP)."""
+    _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G)
 
 
-def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G):
+def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
     dt = srcT_ref.dtype
     # MXU default precision is bf16 multiplies; f32 inputs need the 3-pass
@@ -152,8 +175,8 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G):
     lane_r = lax.broadcasted_iota(jnp.int32, (w, RW * C), 1) // C
 
     # clip guards int32 overflow; anything past [-1, size] contributes 0
-    sx_all = jnp.clip(sx_ref[0, 0, 0], -2.0, w + 1.0)  # (W, db)
-    sy_all = jnp.clip(sy_ref[0, 0, 0], -2.0, R + 1.0)
+    sx_all = jnp.clip(sx_ref[0, :, 0], -2.0, w + 1.0)  # (RB, W, db)
+    sy_all = jnp.clip(sy_ref[0, :, 0], -2.0, R + 1.0)
     x0 = jnp.floor(sx_all)
     y0 = jnp.floor(sy_all)
     fx_all = sx_all - x0
@@ -165,51 +188,58 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, G):
         r0 = 0
         src_w = srcT_ref[0]  # (W, R*C)
     else:
-        # ONE window for the whole bin block: one scalar reduce + one
-        # dynamic lane slice per grid step instead of per bin
+        # ONE window for the whole (rb x db) block: one scalar reduce +
+        # one dynamic lane slice per grid step
         r0 = _window_base(y0_all, R, RW, C)
         src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
 
-    # build the one-hots per bin, stack SG bins along sublanes, contract
-    # once per group: a (SG*W, Wsrc) @ (Wsrc, RW*C) issue pipelines far
-    # better on the MXU than SG separate (W, Wsrc) matmuls. SG is bounded
-    # to keep the (SG*W, RW*C) f32 temporaries inside scoped VMEM (the
-    # one-hot H is (SG*W, W) f32, so wide images force SG down).
-    sg = _stack_group(db, w)
+    if G is not None:
+        # (RB*W, C) f32 reference block, tiled once per stack group below
+        refblk = ref_ref[0].astype(jnp.float32).reshape(RB * w, C)
+
+    # build the one-hots per (bin, row), stack sg bins x RB rows along
+    # sublanes, contract once per group: a (sg*RB*W, Wsrc) @ (Wsrc, RW*C)
+    # issue amortizes the per-step fixed cost vs one matmul per
+    # (row, bin). sg is bounded to keep the f32 temporaries inside
+    # scoped VMEM (Mosaic does not reuse stack slots across the unrolled
+    # one-hot constructions, so every (M, RW*C) temporary counts).
+    sg = _stack_group(db, RB, w)
     for g in range(0, db, sg):
         sg = min(sg, db - g)  # ragged tail when sg does not divide db
         h_parts = []
         v_parts = []
         for d in range(g, g + sg):
-            fx = fx_all[:, d:d + 1]
-            fy = fy_all[:, d:d + 1]
-            x0i = x0_all[:, d:d + 1]
-            rel = y0_all[:, d:d + 1] - r0  # window-relative tap row
-            h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
-                           + jnp.where(q == x0i + 1, fx, 0.0))  # (W, Wsrc)
-            v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
-                           + jnp.where(lane_r == rel + 1, fy, 0.0))
-        h_all = jnp.concatenate(h_parts, axis=0).astype(dt)  # (SG*W, Wsrc)
-        v_all = jnp.concatenate(v_parts, axis=0)  # (SG*W, RW*C)
+            for k in range(RB):
+                fx = fx_all[k, :, d:d + 1]
+                fy = fy_all[k, :, d:d + 1]
+                x0i = x0_all[k, :, d:d + 1]
+                rel = y0_all[k, :, d:d + 1] - r0  # window-relative tap row
+                h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
+                               + jnp.where(q == x0i + 1, fx, 0.0))
+                v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
+                               + jnp.where(lane_r == rel + 1, fy, 0.0))
+        h_all = jnp.concatenate(h_parts, axis=0).astype(dt)  # (M, Wsrc)
+        v_all = jnp.concatenate(v_parts, axis=0)  # (M, RW*C)
         hi = jnp.dot(h_all, src_w, precision=prec,
-                     preferred_element_type=jnp.float32)  # (SG*W, RW*C)
+                     preferred_element_type=jnp.float32)  # (M, RW*C)
         # sum over the window rows: halving lane adds (VPU, mostly
         # 128-aligned) instead of a (RW*C, C) one-hot matmul whose N=C
         # pads 4x on the MXU; an odd remainder is added linearly
         hv = _chunk_sum(hi * v_all, C)
         if G is None:
-            out_ref[0, g:g + sg] = hv.reshape(sg, w, C).astype(out_ref.dtype)
+            out_ref[0, g:g + sg] = hv.reshape(sg, RB, w, C).astype(
+                out_ref.dtype)
         else:
-            # fused epilogue: correlate with the reference row, then the
+            # fused epilogue: correlate with the reference rows, then the
             # channel-group mean (C = K*G, mean over K) as halving adds
             # under the (k*G + g) channel order
-            refrow = ref_ref[0, 0].astype(jnp.float32)  # (W, C)
-            hv = hv * jnp.concatenate([refrow] * sg, axis=0)
+            hv = hv * jnp.concatenate([refblk] * sg, axis=0)
             hv = _chunk_sum(hv, G) * (G / C)
-            out_ref[0, g:g + sg] = hv.reshape(sg, w, G).astype(out_ref.dtype)
+            out_ref[0, g:g + sg] = hv.reshape(sg, RB, w, G).astype(
+                out_ref.dtype)
 
 
-def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
+def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C, RB):
     """Gradient wrt the source features: transposed one-hot contractions.
 
     d_srcT[q, r*C + c] = sum_{h,d,x} H1[x, q] * V[x, r] * g[x, c]
@@ -223,30 +253,31 @@ def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C):
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
     lane_r = lax.broadcasted_iota(jnp.int32, (w, R * C), 1) // C
 
-    sx_all = sx_ref[0, 0, 0]
-    sy_all = sy_ref[0, 0, 0]
+    sx_all = sx_ref[0, :, 0]  # (RB, W, db)
+    sy_all = sy_ref[0, :, 0]
     acc = jnp.zeros((w, C * R), f32)
     for d in range(db):
-        sx = jnp.clip(sx_all[:, d:d + 1], -2.0, w + 1.0)
-        sy = jnp.clip(sy_all[:, d:d + 1], -2.0, R + 1.0)
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = sx - x0
-        fy = sy - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
-              + jnp.where(q == x0i + 1, fx, 0.0))
-        vexp = (jnp.where(lane_r == y0i, 1.0 - fy, 0.0)
-                + jnp.where(lane_r == y0i + 1, fy, 0.0))  # (W, R*C)
-        g_d = g_ref[0, d].astype(f32)  # (W, C)
-        # expand g over r: under (r*C + c) the expansion is a lane tile
-        g_exp = pltpu.repeat(g_d, R, axis=1)  # (W, R*C)
-        vg = vexp * g_exp
-        # (W_src, R*C) = H1^T @ vg
-        acc = acc + lax.dot_general(
-            h1, vg, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
+        for k in range(RB):
+            sx = jnp.clip(sx_all[k, :, d:d + 1], -2.0, w + 1.0)
+            sy = jnp.clip(sy_all[k, :, d:d + 1], -2.0, R + 1.0)
+            x0 = jnp.floor(sx)
+            y0 = jnp.floor(sy)
+            fx = sx - x0
+            fy = sy - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            h1 = (jnp.where(q == x0i, 1.0 - fx, 0.0)
+                  + jnp.where(q == x0i + 1, fx, 0.0))
+            vexp = (jnp.where(lane_r == y0i, 1.0 - fy, 0.0)
+                    + jnp.where(lane_r == y0i + 1, fy, 0.0))  # (W, R*C)
+            g_d = g_ref[0, d, k].astype(f32)  # (W, C)
+            # expand g over r: under (r*C + c) the expansion is a lane tile
+            g_exp = pltpu.repeat(g_d, R, axis=1)  # (W, R*C)
+            vg = vexp * g_exp
+            # (W_src, R*C) = H1^T @ vg
+            acc = acc + lax.dot_general(
+                h1, vg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
 
     first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
@@ -267,36 +298,39 @@ def _prep_coords(a, db):
     return jnp.transpose(a, (0, 1, 2, 4, 3))
 
 
-def _coord_specs(w, db):
+def _coord_specs(w, db, rb):
     return [
-        pl.BlockSpec((1, 1, 1, w, db),
+        pl.BlockSpec((1, rb, 1, w, db),
                      lambda bi, hi, di: (bi, hi, di, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, w, db),
+        pl.BlockSpec((1, rb, 1, w, db),
                      lambda bi, hi, di: (bi, hi, di, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
 
-def _warp_rows_call(src_feat, sx_t, sy_t, rw, interpret):
-    """One forward pallas_call at window width rw (rw == R: exact full)."""
+def _warp_rows_call(src_feat, sx_t, sy_t, rw, rb, interpret):
+    """One forward pallas_call at window width rw (rw == R: exact full).
+
+    Output written directly in (B, D, H, W, C) order.
+    """
     b, r, w, c = src_feat.shape
     _, h, nd, _, db = sx_t.shape
     d = nd * db
     # (q, r*C + c) layout: a row window is one contiguous 128-aligned
     # lane slice (see module docstring)
     srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    kernel = functools.partial(_warp_kernel, R=r, C=c, RW=rw)
+    kernel = functools.partial(_warp_kernel, R=r, C=c, RW=rw, RB=rb)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * d, w, c), src_feat.dtype),
-        grid=(b, h, nd),
-        in_specs=_coord_specs(w, db) + [
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), src_feat.dtype),
+        grid=(b, h // rb, nd),
+        in_specs=_coord_specs(w, db, rb) + [
             pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, db, w, c),
-                               lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+        out_specs=pl.BlockSpec((1, db, rb, w, c),
+                               lambda bi, hi, di: (bi, di, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx_t, sy_t, srcT)
@@ -311,73 +345,77 @@ def _window_ladder(rw, r, c):
     return ladder + [r]
 
 
-def _windowed_dispatch(call, sy_t, r, c, rw):
-    """Run ``call(window_width)`` at the narrowest covering window.
+def _windowed_dispatch(call, sy_t, r, c, rw, rb):
+    """Run ``call(window_width, row_block)`` at the narrowest covering
+    window.
 
-    Two-level fallback: rw -> 2*rw -> exact full row. Each step is a
-    host-side coverage check (cheap VPU reductions) + lax.cond, so only
-    one kernel executes; near-misses degrade gracefully instead of paying
-    the full-row contraction.
+    Widening-ladder fallback: rw -> 2*rw -> ... -> exact full row. Each
+    step is a host-side coverage check (cheap VPU reductions) +
+    lax.cond, so only one kernel executes; near-misses degrade gracefully
+    instead of paying the full-row contraction. The exact full-row level
+    runs at row_block=1: its (M, R*C) f32 temporaries are already at the
+    scoped-VMEM edge without the multi-row block inflation.
     """
     if rw is None or rw >= r:
-        return call(r)
-    b, h, nd, w, db = sy_t.shape
-    sy_flat = sy_t.reshape(b, h * nd, w * db)
+        return call(r, 1)
     ladder = _window_ladder(rw, r, c)
 
     def build(i):
         if i == len(ladder) - 1:
-            return lambda: call(ladder[i])
-        ok = _coverage_ok(sy_flat, r, ladder[i], c)
-        return lambda: lax.cond(ok, lambda: call(ladder[i]), build(i + 1))
+            return lambda: call(ladder[i], 1)
+        ok = _coverage_ok(sy_t, r, ladder[i], c, rb)
+        return lambda: lax.cond(ok, lambda: call(ladder[i], rb),
+                                build(i + 1))
 
     return build(0)()
 
 
-def _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret=False):
+def _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret=False):
     """Forward launch: windowed kernel with graceful full-row fallback.
 
-    Returns rows layout (B, H*D, W, C).
+    Returns (B, D, H, W, C).
     """
     r = src_feat.shape[1]
     c = src_feat.shape[3]
     return _windowed_dispatch(
-        lambda width: _warp_rows_call(src_feat, sx_t, sy_t, width,
-                                      interpret),
-        sy_t, r, c, rw)
+        lambda width, rbw: _warp_rows_call(src_feat, sx_t, sy_t, width,
+                                           rbw, interpret),
+        sy_t, r, c, rw, rb)
 
 
-def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, groups,
+def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, rb, groups,
                          interpret):
     """Fused warp+correlate+group-reduce pallas_call at window width rw."""
     b, r, w, c = src_feat.shape
     _, h, nd, _, db = sx_t.shape
     d = nd * db
     srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    kernel = functools.partial(_warp_corr_kernel, R=r, C=c, RW=rw, G=groups)
+    kernel = functools.partial(_warp_corr_kernel, R=r, C=c, RW=rw, RB=rb,
+                               G=groups)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * d, w, groups),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, groups),
                                        src_feat.dtype),
-        grid=(b, h, nd),
-        in_specs=_coord_specs(w, db) + [
+        grid=(b, h // rb, nd),
+        in_specs=_coord_specs(w, db, rb) + [
             pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
+            pl.BlockSpec((1, rb, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, db, w, groups),
-                               lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+        out_specs=pl.BlockSpec((1, db, rb, w, groups),
+                               lambda bi, hi, di: (bi, di, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sx_t, sy_t, srcT, ref_feat)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "d_block",
-                                             "row_window", "interpret"))
+                                             "row_window", "row_block",
+                                             "interpret"))
 def sweep_warp_corr(src_feat, ref_feat, sx, sy, groups: int,
                     d_block: int = 8, row_window: int = 16,
-                    interpret: bool = False):
+                    row_block: int = 4, interpret: bool = False):
     """Plane-sweep cost volume in ONE kernel: warp, correlate, group-mean.
 
     src_feat/ref_feat: (B, R, W, C) NHWC features; sx, sy: (B, D, H, W)
@@ -395,27 +433,28 @@ def sweep_warp_corr(src_feat, ref_feat, sx, sy, groups: int,
     db = min(d_block, d)
     assert d % db == 0
     rw = _effective_window(row_window, r, c)
+    rb = _row_block(h, row_block)
 
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
-    out = _windowed_dispatch(
-        lambda width: _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t,
-                                           width, groups, interpret),
-        sy_t, r, c, rw)
-    return jnp.transpose(out.reshape(b, h, d, w, groups), (0, 2, 1, 3, 4))
+    return _windowed_dispatch(
+        lambda width, rbw: _warp_corr_rows_call(src_feat, ref_feat, sx_t,
+                                                sy_t, width, rbw, groups,
+                                                interpret),
+        sy_t, r, c, rw, rb)
 
 
-def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
-    """Backward kernel launch. g: (B, H*D, W, C) -> d_src (B, R, W, C)."""
+def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, rb, interpret=False):
+    """Backward kernel launch. g: (B, D, H, W, C) -> d_src (B, R, W, C)."""
     b, h, nd, w, db = sx_t.shape
-    kernel = functools.partial(_warp_bwd_kernel, R=r, C=c)
+    kernel = functools.partial(_warp_bwd_kernel, R=r, C=c, RB=rb)
     dsrcT = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, w, c * r), jnp.float32),
-        grid=(b, h, nd),
-        in_specs=_coord_specs(w, db) + [
-            pl.BlockSpec((1, db, w, c),
-                         lambda bi, hi, di: (bi, hi * nd + di, 0, 0),
+        grid=(b, h // rb, nd),
+        in_specs=_coord_specs(w, db, rb) + [
+            pl.BlockSpec((1, db, rb, w, c),
+                         lambda bi, hi, di: (bi, di, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
@@ -426,19 +465,19 @@ def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret=False):
     return jnp.transpose(dsrc, (0, 2, 1, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _warp_rows(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
-    return _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, interpret=False):
+    return _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret)
 
 
-def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
-    out = _warp_rows_impl(src_feat, sx_t, sy_t, rw, interpret)
+def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, rw, rb, interpret=False):
+    out = _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret)
     return out, (sx_t, sy_t, jnp.zeros((), src_feat.dtype))
 
 
-def _warp_rows_bwd(r, c, rw, interpret, res, g):
+def _warp_rows_bwd(r, c, rw, rb, interpret, res, g):
     sx_t, sy_t, dtype_carrier = res
-    dsrc = _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, interpret)
+    dsrc = _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, rb, interpret)
     return (dsrc.astype(dtype_carrier.dtype), jnp.zeros_like(sx_t),
             jnp.zeros_like(sy_t))
 
@@ -447,9 +486,10 @@ _warp_rows.defvjp(_warp_rows_fwd, _warp_rows_bwd)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d_block", "row_window", "interpret"))
+                   static_argnames=("d_block", "row_window", "row_block",
+                                    "interpret"))
 def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
-               interpret: bool = False):
+               row_block: int = 4, interpret: bool = False):
     """Warp src features over all depth hypotheses (zeros padding, bilinear).
 
     src_feat: (B, R, W, C) NHWC source features;
@@ -457,11 +497,12 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
     Returns (B, D, H, W, C), numerically matching
     ops.sampling.grid_sample(..., padding='zeros') on the same coords.
 
-    ``row_window`` bounds the per-bin source-row window of the fast path
-    (see module docstring); a host-side coverage check falls back to the
-    exact full-row kernel when any window can't cover its taps, so the
-    result is exact for arbitrary coordinates. Pass None to always use the
-    full kernel.
+    ``row_window`` bounds the per-block source-row window of the fast path
+    (see module docstring); a host-side coverage check falls back through
+    a widening ladder to the exact full-row kernel when any window can't
+    cover its taps, so the result is exact for arbitrary coordinates. Pass
+    None to always use the full kernel. ``row_block`` output rows share
+    one grid step (and one window).
 
     Differentiable wrt src_feat (custom VJP: transposed one-hot matmuls in
     a second Pallas kernel); coordinates carry no gradient (the reference
@@ -473,11 +514,11 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
     db = min(d_block, d)
     assert d % db == 0
     rw = _effective_window(row_window, r, c)
+    rb = _row_block(h, row_block)
 
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
-    out = _warp_rows(src_feat, sx_t, sy_t, r, c, rw, interpret)
-    return jnp.transpose(out.reshape(b, h, d, w, c), (0, 2, 1, 3, 4))
+    return _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, interpret)
 
 
 def grid_to_pixel(grid, height, width):

@@ -107,9 +107,13 @@ def test_sweep_warp_windowed_matches_gather_path(rng):
     from movedepth_tpu.ops.pallas.sweep_warp import (
         _coverage_ok,
         _effective_window,
+        _prep_coords,
+        _row_block,
     )
     rw = _effective_window(16, h, c)
-    assert rw is not None and bool(_coverage_ok(sy, h, rw, c))  # fast path
+    rb = _row_block(h, 4)
+    sy_t = _prep_coords(sy, 8)
+    assert rw is not None and bool(_coverage_ok(sy_t, h, rw, c, rb))
     got = sweep_warp(src, sx, sy, row_window=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -127,9 +131,13 @@ def test_sweep_warp_window_fallback_is_exact(rng):
     from movedepth_tpu.ops.pallas.sweep_warp import (
         _coverage_ok,
         _effective_window,
+        _prep_coords,
+        _row_block,
     )
     rw = _effective_window(16, h, c)
-    assert rw is not None and not bool(_coverage_ok(sy, h, rw, c))
+    rb = _row_block(h, 4)
+    sy_t = _prep_coords(sy, 8)
+    assert rw is not None and not bool(_coverage_ok(sy_t, h, rw, c, rb))
     want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
     got = sweep_warp(src, sx, sy, row_window=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
