@@ -133,7 +133,6 @@ class Config:
 
     # ---- parallelism (TPU-native replacement of reference DDP flags) ----
     data_axis: str = "data"  # mesh axis name for data parallelism / SyncBN
-    num_data_shards: int = 1  # informational; actual mesh comes from devices
 
     # -------------------------------------------------------------- helpers
     @property

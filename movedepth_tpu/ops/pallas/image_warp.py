@@ -51,8 +51,16 @@ from movedepth_tpu.ops.pallas.sweep_warp import (
 )
 
 
-def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dsx_ref, dsy_ref,
-                      *, R, C, RW):
+def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref, *, R, C, RW,
+                      WHICH):
+    """One coordinate-gradient component (WHICH = 'x' or 'y') per launch.
+
+    Computing dsx and dsy in a single kernel keeps ~10 (M, RW*C) f32
+    temporaries live (Mosaic does not reuse stack slots across the
+    unrolled construction) and blows the 16 MB scoped-VMEM limit at the
+    full 640x192 training resolution; two launches halve the live set.
+    The backward runs once per train step -- the extra matmul is noise.
+    """
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
     dt = srcT_ref.dtype
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
@@ -81,62 +89,65 @@ def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dsx_ref, dsy_ref,
     sg = _stack_group(db, 1, w)
     for g in range(0, db, sg):
         sg = min(sg, db - g)
-        h_parts, dh_parts, v_parts, dv_parts, g_parts = [], [], [], [], []
+        m_parts, e_parts, g_parts = [], [], []
         for d in range(g, g + sg):
             fx = fx_all[:, d:d + 1]
             fy = fy_all[:, d:d + 1]
             x0i = x0_all[:, d:d + 1]
             rel = y0_all[:, d:d + 1] - r0
-            h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
-                           + jnp.where(q == x0i + 1, fx, 0.0))
-            dh_parts.append(jnp.where(q == x0i + 1, one, 0.0)
-                            - jnp.where(q == x0i, one, 0.0))
-            v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
-                           + jnp.where(lane_r == rel + 1, fy, 0.0))
-            dv_parts.append(jnp.where(lane_r == rel + 1, one, 0.0)
-                            - jnp.where(lane_r == rel, one, 0.0))
+            if WHICH == "x":
+                # matmul one-hot: dH; elementwise mask: V
+                m_parts.append(jnp.where(q == x0i + 1, one, 0.0)
+                               - jnp.where(q == x0i, one, 0.0))
+                e_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
+                               + jnp.where(lane_r == rel + 1, fy, 0.0))
+            else:
+                # matmul one-hot: H; elementwise mask: dV
+                m_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
+                               + jnp.where(q == x0i + 1, fx, 0.0))
+                e_parts.append(jnp.where(lane_r == rel + 1, one, 0.0)
+                               - jnp.where(lane_r == rel, one, 0.0))
             g_parts.append(pltpu.repeat(g_ref[0, d, 0].astype(jnp.float32),
                                         RW, axis=1))  # (W, RW*C)
-        h_all = jnp.concatenate(h_parts, axis=0).astype(dt)
-        dh_all = jnp.concatenate(dh_parts, axis=0).astype(dt)
-        v_all = jnp.concatenate(v_parts, axis=0)
-        dv_all = jnp.concatenate(dv_parts, axis=0)
+        m_all = jnp.concatenate(m_parts, axis=0).astype(dt)
+        e_all = jnp.concatenate(e_parts, axis=0)
         g_all = jnp.concatenate(g_parts, axis=0)
-        hi = jnp.dot(h_all, src_w, precision=prec,
+        mi = jnp.dot(m_all, src_w, precision=prec,
                      preferred_element_type=jnp.float32)
-        dhi = jnp.dot(dh_all, src_w, precision=prec,
-                      preferred_element_type=jnp.float32)
-        dsx_col = jnp.sum(dhi * v_all * g_all, axis=1, keepdims=True)
-        dsy_col = jnp.sum(hi * dv_all * g_all, axis=1, keepdims=True)
+        col = jnp.sum(mi * e_all * g_all, axis=1, keepdims=True)
         for i in range(sg):
             d = g + i
-            dsx_ref[0, 0, 0, :, d:d + 1] = dsx_col[i * w:(i + 1) * w]
-            dsy_ref[0, 0, 0, :, d:d + 1] = dsy_col[i * w:(i + 1) * w]
+            dref[0, 0, 0, :, d:d + 1] = col[i * w:(i + 1) * w]
 
 
 def _coord_bwd_call(src_feat, sx_t, sy_t, g, rw, interpret):
     b, r, w, c = src_feat.shape
     _, h, nd, _, db = sx_t.shape
     srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    kernel = functools.partial(_coord_bwd_kernel, R=r, C=c, RW=rw)
     coord_out = jax.ShapeDtypeStruct((b, h, nd, w, db), jnp.float32)
     coord_spec = pl.BlockSpec((1, 1, 1, w, db),
                               lambda bi, hi, di: (bi, hi, di, 0, 0),
                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(coord_out, coord_out),
-        grid=(b, h, nd),
-        in_specs=_coord_specs(w, db, 1) + [
-            pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, db, 1, w, c),
-                         lambda bi, hi, di: (bi, di, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(coord_spec, coord_spec),
-        interpret=interpret,
-    )(sx_t, sy_t, srcT, g)
+
+    def launch(which):
+        kernel = functools.partial(_coord_bwd_kernel, R=r, C=c, RW=rw,
+                                   WHICH=which)
+        return pl.pallas_call(
+            kernel,
+            out_shape=coord_out,
+            grid=(b, h, nd),
+            in_specs=_coord_specs(w, db, 1) + [
+                pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, db, 1, w, c),
+                             lambda bi, hi, di: (bi, di, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=coord_spec,
+            interpret=interpret,
+        )(sx_t, sy_t, srcT, g)
+
+    return launch("x"), launch("y")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
