@@ -3,20 +3,41 @@
 The train step's hottest op is the full-res border-mode bilinear warp of
 the source images by the K = num_scales + 2 depth maps (reference:
 F.grid_sample at movedepth/trainer.py:504,526,577). The XLA gather
-formulation is row-rate-bound (~127M rows/s); this module reuses the
-one-hot MXU contraction of ops/pallas/sweep_warp.py instead:
+formulation is row-rate-bound (~127M rows/s); this module uses one-hot
+MXU contractions instead (see ops/pallas/sweep_warp.py for the idea).
+
+PLANAR "CW" LAYOUT -- the part that makes it trainable: Pallas constrains
+custom-call operands/results to dense row-major, and XLA tiles the two
+minor dims (8, 128). A (B, K, H, W, 3) result therefore pads its 3-lane
+minor dim to 128 (42x memory blowup -- 2.8 GB per temp at 640x192 train
+resolution, which OOMs HBM at batch 8). Every tensor crossing the kernel
+boundary here is laid out with W as the MINOR dim instead:
+
+    coords  (B, H, 1, K, W)        src  (B, R*C, W)
+    output  (B, K, H, C, W)        coord grads like coords
+
+so nothing pads more than ~2x. The one-hot math is written transposed to
+match -- selection matrices are built from coordinate ROW vectors with
+sublane iota, the bilinear taps become
+
+    outT[c, x] = sum_r V^T[r*C+c, x] * (srcT @ H^T)[r*C+c, x]
+
+and the row-window reduction is aligned sublane halving. No in-kernel
+transposes or unaligned slices anywhere. The thin XLA transpose back to
+NHWC after the kernel is plain HLO -- XLA picks efficient layouts for it.
+
+Other design points:
 
   * border padding == clamping the coordinates into the frame BEFORE the
     kernel (outside, in XLA) -- every tap then lands in-frame, so the
-    zeros-padding kernel computes exactly the border-mode warp, and the
+    zeros-padding math computes exactly the border-mode warp, and the
     clamp's own VJP masks the coordinate gradient at the borders exactly
     like the gather formulation's.
   * unlike the cost-volume sweep, the depth/pose training signal flows
-    through the grid here, so the op carries a CUSTOM COORDINATE VJP: a
-    second Pallas kernel contracts the one-hot *derivatives* (dH/dsx is
-    the +-1 two-hot at the taps) against the same resident source:
-        dL/dsx[x] = sum_lanes (dH1 @ srcT) * V * tile(g)
-        dL/dsy[x] = sum_lanes (H1 @ srcT) * dV * tile(g)
+    through the grid here, so the op carries a CUSTOM COORDINATE VJP:
+    one Pallas launch per component (dsx, dsy) contracts the one-hot
+    *derivatives* against the same resident source (two launches keep
+    the f32 temporaries inside the 16 MB scoped-VMEM limit).
     The source images are training DATA -- they carry no gradient.
   * images are f32 in [0, 1]; the MXU runs bf16. The default mode splits
     the source into bf16 hi + lo halves stacked on the channel axis
@@ -26,13 +47,14 @@ one-hot MXU contraction of ops/pallas/sweep_warp.py instead:
     (<= 2^-9 absolute on [0,1] images). ``precise=True`` runs a single
     f32 HIGHEST-precision pass instead (slower; used by parity tests).
   * windows that cannot cover their taps fall back to the exact XLA
-    gather path via lax.cond (the full-row contraction at 192 source rows
-    would not fit VMEM).
+    gather path via lax.cond (the full-row contraction at 192 source
+    rows would not fit VMEM).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -40,134 +62,278 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from movedepth_tpu.ops.pallas.sweep_warp import (
-    _coord_specs,
-    _coverage_ok,
-    _effective_window,
-    _prep_coords,
-    _stack_group,
-    _warp_rows_call,
-    _window_base,
-)
+
+def _row_align_cw(c: int) -> int:
+    """Window bases must put the sublane offset r0*C on a 16 boundary
+    (the stricter bf16 sublane tile; f32 needs only 8)."""
+    return max(1, 16 // math.gcd(c, 16))
 
 
-def _coord_bwd_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref, *, R, C, RW,
-                      WHICH):
-    """One coordinate-gradient component (WHICH = 'x' or 'y') per launch.
+def _effective_window_cw(rw, r, c):
+    if rw is None:
+        return None
+    align = _row_align_cw(c)
+    rw = max(rw, 2 * align)
+    rw = 1 << (rw - 1).bit_length()
+    return None if rw >= r else rw
 
-    Computing dsx and dsy in a single kernel keeps ~10 (M, RW*C) f32
-    temporaries live (Mosaic does not reuse stack slots across the
-    unrolled construction) and blows the 16 MB scoped-VMEM limit at the
-    full 640x192 training resolution; two launches halve the live set.
-    The backward runs once per train step -- the extra matmul is noise.
+
+def _window_base_cw(y0i, R, RW, C):
+    """Aligned window base from the floor'd vertical coords of one block.
+    Must stay in lockstep with `_coverage_ok_cw`."""
+    valid = (y0i >= -1) & (y0i <= R - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(y0i, 0), R - 1))
+    align = _row_align_cw(C)
+    hi = (R - RW) - (R - RW) % align
+    return jnp.clip(mn - mn % align, 0, hi)
+
+
+def _coverage_ok_cw(sy, R, RW, C, db):
+    """Host-side replica of `_window_base_cw` over every (h, nd) block.
+    sy: natural (B, D, H, W); one window per (b, h, d-block) grid step.
+    Pure axis reductions -- no materialized transpose."""
+    b, d, h, w = sy.shape
+    blocks = sy.reshape(b, d // db, db, h, w)
+    y0 = jnp.floor(jnp.clip(blocks, -2.0, R + 1.0)).astype(jnp.int32)
+    valid = (y0 >= -1) & (y0 <= R - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(y0, 0), R - 1), axis=(2, 4))
+    mx = jnp.max(jnp.where(valid, jnp.minimum(y0 + 1, R - 1), 0),
+                 axis=(2, 4))
+    align = _row_align_cw(C)
+    hi = (R - RW) - (R - RW) % align
+    r0 = jnp.clip(mn - mn % align, 0, hi)
+    return jnp.all(mx <= r0 + RW - 1)
+
+
+def _chunk_sum_rows(x, c):
+    """Sum an (n*c, W) array over its n sublane chunks -> (c, W).
+
+    Halving adds while the chunk count is even (aligned sublane slices),
+    then a short linear tail for an odd remainder.
     """
-    w, db = sx_ref.shape[-2], sx_ref.shape[-1]
+    height = x.shape[0]
+    while height > c and (height // c) % 2 == 0:
+        half = height // 2
+        x = x[:half] + x[half:height]
+        height = half
+    if height > c:
+        acc = x[0:c]
+        for off in range(c, height, c):
+            acc = acc + x[off:off + c]
+        x = acc
+    return x
+
+
+def _coord_specs_cw(w, db):
+    """Blocks sliced from the (B, D, H, 1, W) view of the natural coords
+    -- W is already the minor dim, so no host-side transpose (a
+    materialized coords transpose costs a ~5x-padded half-GB copy at
+    train size). The singleton dim satisfies Mosaic's block rule (the
+    last two block dims must divide (8, 128) or equal the array dims)."""
+    spec = pl.BlockSpec((1, db, 1, 1, w),
+                        lambda bi, hi, di: (bi, di, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return [spec, spec]
+
+
+def _stack_n(db: int, w: int) -> int:
+    """Bins stacked along the matmul N dim, bounding N = sg*W.
+
+    Mosaic keeps every unrolled (Wsrc, N) / (RW*C, N) temporary live, so
+    the budget is conservative: N <= 1280 keeps the ~6 live copies well
+    inside the 16 MB scoped-VMEM limit at RW*C = 256."""
+    return min(db, 4, max(1, 1280 // w))
+
+
+def _cw_onehots(sx_row, sy_row, R, C, RW, w, r0, dt, derivative):
+    """Transposed selection matrices for one bin.
+
+    sx_row/sy_row: (1, W) coordinate rows. Returns (HT (Wsrc, W) cast to
+    dt, VT (RW*C, W) f32); ``derivative`` picks d/dsx resp. d/dsy forms.
+    """
+    qT = lax.broadcasted_iota(jnp.int32, (w, w), 0)  # [q, x] = q
+    rT = lax.broadcasted_iota(jnp.int32, (RW * C, w), 0) // C
+
+    x0 = jnp.floor(sx_row)
+    y0 = jnp.floor(sy_row)
+    fx = sx_row - x0
+    fy = sy_row - y0
+    x0i = x0.astype(jnp.int32)
+    rel = y0.astype(jnp.int32) - r0
+    one = jnp.float32(1.0)
+    if derivative == "x":
+        ht = (jnp.where(qT == x0i + 1, one, 0.0)
+              - jnp.where(qT == x0i, one, 0.0))
+    else:
+        ht = (jnp.where(qT == x0i, 1.0 - fx, 0.0)
+              + jnp.where(qT == x0i + 1, fx, 0.0))
+    if derivative == "y":
+        vt = (jnp.where(rT == rel + 1, one, 0.0)
+              - jnp.where(rT == rel, one, 0.0))
+    else:
+        vt = (jnp.where(rT == rel, 1.0 - fy, 0.0)
+              + jnp.where(rT == rel + 1, fy, 0.0))
+    return ht.astype(dt), vt
+
+
+def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW):
+    """Forward: outT[c, x] = sum_r VT[r*C+c, x] * (srcW @ HT)[r*C+c, x]."""
+    db, w = sx_ref.shape[1], sx_ref.shape[4]
     dt = srcT_ref.dtype
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
             else lax.Precision.DEFAULT)
 
-    q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    lane_r = lax.broadcasted_iota(jnp.int32, (w, RW * C), 1) // C
+    sx_all = jnp.clip(sx_ref[0, :, 0, 0], -2.0, w + 1.0)  # (db, W)
+    sy_all = jnp.clip(sy_ref[0, :, 0, 0], -2.0, R + 1.0)
 
-    sx_all = jnp.clip(sx_ref[0, 0, 0], -2.0, w + 1.0)  # (W, db)
-    sy_all = jnp.clip(sy_ref[0, 0, 0], -2.0, R + 1.0)
-    x0 = jnp.floor(sx_all)
-    y0 = jnp.floor(sy_all)
-    fx_all = sx_all - x0
-    fy_all = sy_all - y0
-    x0_all = x0.astype(jnp.int32)
-    y0_all = y0.astype(jnp.int32)
+    if RW == R:
+        r0 = 0
+        src_w = srcT_ref[0]  # (R*C, W)
+    else:
+        y0i = jnp.floor(sy_all).astype(jnp.int32)
+        r0 = _window_base_cw(y0i, R, RW, C)
+        src_w = srcT_ref[0, pl.ds(pl.multiple_of(r0 * C, 8), RW * C)]
+
+    sg = _stack_n(db, w)
+    for g in range(0, db, sg):
+        sg = min(sg, db - g)
+        hts = []
+        vts = []
+        for d in range(g, g + sg):
+            ht, vt = _cw_onehots(sx_all[d:d + 1], sy_all[d:d + 1], R, C,
+                                 RW, w, r0, dt, None)
+            hts.append(ht)
+            vts.append(vt)
+        ht_all = jnp.concatenate(hts, axis=1)  # (Wsrc, sg*W)
+        hi = jnp.dot(src_w, ht_all, precision=prec,
+                     preferred_element_type=jnp.float32)  # (RW*C, sg*W)
+        for i in range(sg):
+            hv = _chunk_sum_rows(hi[:, i * w:(i + 1) * w] * vts[i], C)
+            out_ref[0, g + i, 0] = hv.astype(out_ref.dtype)  # (C, W)
+
+
+def _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret):
+    b = srcT.shape[0]
+    _, d, h, w = sx.shape
+    nd = d // db
+    sx5 = sx.reshape(b, d, h, 1, w)  # free: metadata-only singleton
+    sy5 = sy.reshape(b, d, h, 1, w)
+    kernel = functools.partial(_warp_cw_kernel, R=r, C=c, RW=rw)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d, h, c, w), srcT.dtype),
+        grid=(b, h, nd),
+        in_specs=_coord_specs_cw(w, db) + [
+            pl.BlockSpec((1, r * c, w), lambda bi, hi, di: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, db, 1, c, w),
+                               lambda bi, hi, di: (bi, di, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sx5, sy5, srcT)
+
+
+def _coord_bwd_cw_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref,
+                         *, R, C, RW, WHICH):
+    """One coordinate-gradient component (WHICH = 'x' or 'y') per launch.
+
+    Computing dsx and dsy in one kernel keeps ~10 (RW*C, N) f32
+    temporaries live (Mosaic does not reuse stack slots across unrolled
+    constructions) and blows the 16 MB scoped-VMEM limit at the full
+    640x192 training resolution; two launches halve the live set. The
+    backward runs once per train step -- the extra matmul is noise.
+    """
+    db, w = sx_ref.shape[1], sx_ref.shape[4]
+    dt = srcT_ref.dtype
+    prec = (lax.Precision.HIGHEST if dt == jnp.float32
+            else lax.Precision.DEFAULT)
+
+    sx_all = jnp.clip(sx_ref[0, :, 0, 0], -2.0, w + 1.0)
+    sy_all = jnp.clip(sy_ref[0, :, 0, 0], -2.0, R + 1.0)
 
     if RW == R:
         r0 = 0
         src_w = srcT_ref[0]
     else:
-        r0 = _window_base(y0_all, R, RW, C)
-        src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
+        y0i = jnp.floor(sy_all).astype(jnp.int32)
+        r0 = _window_base_cw(y0i, R, RW, C)
+        src_w = srcT_ref[0, pl.ds(pl.multiple_of(r0 * C, 8), RW * C)]
 
-    one = jnp.float32(1.0)
-    sg = _stack_group(db, 1, w)
+    sg = _stack_n(db, w)
     for g in range(0, db, sg):
         sg = min(sg, db - g)
-        m_parts, e_parts, g_parts = [], [], []
+        hts = []
+        vts = []
         for d in range(g, g + sg):
-            fx = fx_all[:, d:d + 1]
-            fy = fy_all[:, d:d + 1]
-            x0i = x0_all[:, d:d + 1]
-            rel = y0_all[:, d:d + 1] - r0
-            if WHICH == "x":
-                # matmul one-hot: dH; elementwise mask: V
-                m_parts.append(jnp.where(q == x0i + 1, one, 0.0)
-                               - jnp.where(q == x0i, one, 0.0))
-                e_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
-                               + jnp.where(lane_r == rel + 1, fy, 0.0))
-            else:
-                # matmul one-hot: H; elementwise mask: dV
-                m_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
-                               + jnp.where(q == x0i + 1, fx, 0.0))
-                e_parts.append(jnp.where(lane_r == rel + 1, one, 0.0)
-                               - jnp.where(lane_r == rel, one, 0.0))
-            g_parts.append(pltpu.repeat(g_ref[0, d, 0].astype(jnp.float32),
-                                        RW, axis=1))  # (W, RW*C)
-        m_all = jnp.concatenate(m_parts, axis=0).astype(dt)
-        e_all = jnp.concatenate(e_parts, axis=0)
-        g_all = jnp.concatenate(g_parts, axis=0)
-        mi = jnp.dot(m_all, src_w, precision=prec,
-                     preferred_element_type=jnp.float32)
-        col = jnp.sum(mi * e_all * g_all, axis=1, keepdims=True)
+            ht, vt = _cw_onehots(sx_all[d:d + 1], sy_all[d:d + 1], R, C,
+                                 RW, w, r0, dt, WHICH)
+            hts.append(ht)
+            vts.append(vt)
+        ht_all = jnp.concatenate(hts, axis=1)
+        mi = jnp.dot(src_w, ht_all, precision=prec,
+                     preferred_element_type=jnp.float32)  # (RW*C, sg*W)
         for i in range(sg):
             d = g + i
-            dref[0, 0, 0, :, d:d + 1] = col[i * w:(i + 1) * w]
+            gexp = pltpu.repeat(g_ref[0, d, 0].astype(jnp.float32), RW,
+                                axis=0)  # (RW*C, W): row r*C+c = g[c]
+            col = jnp.sum(mi[:, i * w:(i + 1) * w] * vts[i] * gexp,
+                          axis=0, keepdims=True)  # (1, W)
+            dref[0, d, 0] = col
 
 
-def _coord_bwd_call(src_feat, sx_t, sy_t, g, rw, interpret):
-    b, r, w, c = src_feat.shape
-    _, h, nd, _, db = sx_t.shape
-    srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    coord_out = jax.ShapeDtypeStruct((b, h, nd, w, db), jnp.float32)
-    coord_spec = pl.BlockSpec((1, 1, 1, w, db),
-                              lambda bi, hi, di: (bi, hi, di, 0, 0),
+def _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, interpret):
+    b = srcT.shape[0]
+    _, d, h, w = sx.shape
+    nd = d // db
+    sx5 = sx.reshape(b, d, h, 1, w)
+    sy5 = sy.reshape(b, d, h, 1, w)
+    coord_out = jax.ShapeDtypeStruct((b, d, h, 1, w), jnp.float32)
+    coord_spec = pl.BlockSpec((1, db, 1, 1, w),
+                              lambda bi, hi, di: (bi, di, hi, 0, 0),
                               memory_space=pltpu.VMEM)
 
     def launch(which):
-        kernel = functools.partial(_coord_bwd_kernel, R=r, C=c, RW=rw,
+        kernel = functools.partial(_coord_bwd_cw_kernel, R=r, C=c, RW=rw,
                                    WHICH=which)
         return pl.pallas_call(
             kernel,
             out_shape=coord_out,
             grid=(b, h, nd),
-            in_specs=_coord_specs(w, db, 1) + [
-                pl.BlockSpec((1, w, c * r), lambda bi, hi, di: (bi, 0, 0),
+            in_specs=_coord_specs_cw(w, db) + [
+                pl.BlockSpec((1, r * c, w), lambda bi, hi, di: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, db, 1, w, c),
+                pl.BlockSpec((1, db, 1, c, w),
                              lambda bi, hi, di: (bi, di, hi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=coord_spec,
             interpret=interpret,
-        )(sx_t, sy_t, srcT, g)
+        )(sx5, sy5, srcT, g)
 
-    return launch("x"), launch("y")
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _warp_rows_cdiff(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
-    """Windowed warp, differentiable wrt the COORDINATES (src is data)."""
-    return _warp_rows_call(src_feat, sx_t, sy_t, rw, 1, interpret)
+    return (launch("x").reshape(b, d, h, w),
+            launch("y").reshape(b, d, h, w))
 
 
-def _warp_rows_cdiff_fwd(src_feat, sx_t, sy_t, r, c, rw, interpret=False):
-    out = _warp_rows_call(src_feat, sx_t, sy_t, rw, 1, interpret)
-    return out, (src_feat, sx_t, sy_t)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _warp_cw_cdiff(srcT, sx, sy, r, c, rw, db, interpret=False):
+    """Windowed CW warp, differentiable wrt the COORDINATES (src is data)."""
+    return _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret)
 
 
-def _warp_rows_cdiff_bwd(r, c, rw, interpret, res, g):
-    src_feat, sx_t, sy_t = res
-    dsx_t, dsy_t = _coord_bwd_call(src_feat, sx_t, sy_t, g, rw, interpret)
-    return jnp.zeros_like(src_feat), dsx_t, dsy_t
+def _warp_cw_cdiff_fwd(srcT, sx, sy, r, c, rw, db, interpret=False):
+    out = _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret)
+    return out, (srcT, sx, sy)
 
 
-_warp_rows_cdiff.defvjp(_warp_rows_cdiff_fwd, _warp_rows_cdiff_bwd)
+def _warp_cw_cdiff_bwd(r, c, rw, db, interpret, res, g):
+    srcT, sx, sy = res
+    dsx, dsy = _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db,
+                                  interpret)
+    return jnp.zeros_like(srcT), dsx, dsy
+
+
+_warp_cw_cdiff.defvjp(_warp_cw_cdiff_fwd, _warp_cw_cdiff_bwd)
 
 
 def _pad_channels(x, mult):
@@ -216,37 +382,40 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     syc = jnp.clip(sy, 0.0, r - 1.0)
 
     if precise:
-        srcp = _pad_channels(src.astype(jnp.float32), 4)
+        srcp = _pad_channels(src.astype(jnp.float32), 8)
     else:
         hi16 = src.astype(jnp.bfloat16)
         lo16 = (src - hi16.astype(jnp.float32)).astype(jnp.bfloat16)
+        # hi/lo stacked on channels: [hi(4), lo(4)] per pixel; the halves
+        # are summed outside the kernel on CW tensors (cheap ~2x-padded
+        # sublane slices)
         srcp = jnp.concatenate(
             [_pad_channels(hi16, 4), _pad_channels(lo16, 4)], axis=-1)
     cp = srcp.shape[-1]
     c4 = cp if precise else cp // 2
+    # planar CW: (B, R*Cp, W) -- W minor, zero tile padding
+    srcT = jnp.transpose(srcp, (0, 1, 3, 2)).reshape(b, r * cp, w)
 
     db = d  # K warp maps per source frame: one block
-    sx_t = _prep_coords(sxc, db)
-    sy_t = _prep_coords(syc, db)
-
-    rw = _effective_window(row_window, r, cp)
+    rw = _effective_window_cw(row_window, r, cp)
 
     def pallas_path(width):
-        out = _warp_rows_cdiff(srcp, sx_t, sy_t, r, cp, width, interpret)
-        out = out.astype(jnp.float32)  # (B, D, H, W, Cp)
+        out = _warp_cw_cdiff(srcT, sxc, syc, r, cp, width, db, interpret)
+        out = out.astype(jnp.float32)  # (B, D, H, Cp, W)
         if not precise:
-            out = out[..., :c4] + out[..., c4:]
-        return out[..., :c]
+            out = out[:, :, :, :c4] + out[:, :, :, c4:]
+        # back to NHWC -- plain HLO, XLA picks the layouts
+        return jnp.transpose(out[:, :, :, :c], (0, 1, 2, 4, 3))
 
     if rw is None:
         return _gather_warp(src, sxc, syc)
     ladder = [rw]
-    rw2 = _effective_window(2 * rw, r, cp)
+    rw2 = _effective_window_cw(2 * rw, r, cp)
     if rw2 is not None:
         ladder.append(rw2)
     out = lambda: _gather_warp(src, sxc, syc)
     for width in reversed(ladder):
-        ok = _coverage_ok(sy_t, r, width, cp, 1)
+        ok = _coverage_ok_cw(syc, r, width, cp, db)
         out = (lambda ok=ok, width=width, nxt=out:
                lax.cond(ok, lambda: pallas_path(width), nxt))
     return out()

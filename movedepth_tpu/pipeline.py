@@ -69,8 +69,18 @@ def scale_intrinsics(K, scale: int):
     return K.at[..., 0:2, :].multiply(s)
 
 
-def _apply(models, variables, name, *args, train=False):
-    """Run one sub-model; returns (outputs, batch_stats_updates or None)."""
+def _apply(models, variables, name, *args, train=False, remat=False):
+    """Run one sub-model; returns (outputs, batch_stats_updates or None).
+
+    ``remat=True`` rematerializes the sub-model in the backward pass
+    (jax.checkpoint): used for the encoders, whose conv activations
+    otherwise dominate the train-step HBM footprint (XLA lane-pads the
+    small-channel FPN/cost-volume tensors 4-8x).
+    """
+    if remat and train:
+        inner = lambda v, *a: _apply(models, {name: v}, name, *a,
+                                     train=train)
+        return jax.checkpoint(inner)(variables[name], *args)
     model = models[name]
     v = variables[name]
     if train and "batch_stats" in v:
@@ -90,7 +100,8 @@ def _takes_train_flag(name: str) -> bool:
 
 # -------------------------------------------------------------------- poses
 
-def predict_poses(models, variables, batch, cfg: Config, train: bool):
+def predict_poses(models, variables, batch, cfg: Config, train: bool,
+                  remat: bool = False):
     """Pairwise pose prediction (reference: movedepth/trainer.py:445-468).
 
     Returns ({frame_id: cam_T_cam (B,4,4)}, relative_poses (B, M, 4, 4),
@@ -109,7 +120,7 @@ def predict_poses(models, variables, batch, cfg: Config, train: bool):
             pair = jnp.concatenate(
                 [color_aug[:, 0], color_aug[:, fid_to_idx[f_i]]], axis=-1)
         feats, bs1 = _apply(models, variables, "pose_encoder", pair,
-                            train=train)
+                            train=train, remat=remat)
         (aa, tr), _ = _apply(models, variables, "pose", [feats], train=train)
         cam_T_cam[f_i] = transformation_from_parameters(
             aa[:, 0, 0], tr[:, 0, 0], invert=(f_i < 0))
@@ -198,7 +209,7 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
 
 def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
                        depth_bins, K_p, invK_p, rel, cfg: Config,
-                       train: bool):
+                       train: bool, remat: bool = True):
     """Main + masked-augmentation cost volumes sharing ONE sweep warp.
 
     The reference recomputes the full plane-sweep for the masked pass
@@ -207,48 +218,62 @@ def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
     as a per-pixel multiply. So: warp once (the expensive part), correlate
     with both refs, and regularize each volume separately (keeping the
     reference's per-pass BN normalization semantics).
-    Returns (depth_a, cost_prob_a, depth_b, batch_stats updates).
+
+    With ``remat`` the whole trunk is rematerialized (jax.checkpoint):
+    its backward activations are ~10 cost-volume-sized reg3d tensors that
+    XLA lane-pads 4x (~5 GB at batch 32, the round-1 OOM wall), while
+    recomputing the trunk costs only ~2 sweep-kernel launches + 2 reg3d
+    applies. Returns (depth_a, cost_prob_a, depth_b, batch_stats updates).
     """
     use_pallas = _use_pallas_warp(cfg, train)
-    if use_pallas:
-        from movedepth_tpu.ops.costvolume import sweep_grid
-        from movedepth_tpu.ops.pallas.sweep_warp import (
-            grid_to_pixel,
-            sweep_warp,
-        )
-    rw = cfg.sweep_row_window or None
-    costs_a = []
-    costs_b = []
-    for f_idx in range(len(cfg.matching_ids) - 1):
+
+    def trunk(variables, ref_a, ref_b, src_match_feats, depth_bins, K_p,
+              invK_p, rel):
         if use_pallas:
-            h, w = depth_bins.shape[-2], depth_bins.shape[-1]
-            grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
-            sx, sy = grid_to_pixel(grid, h, w)
-            warped = sweep_warp(src_match_feats[f_idx], sx, sy,
-                                row_window=rw)
-        else:
-            from movedepth_tpu.ops.costvolume import plane_sweep_warp
-            warped = plane_sweep_warp(src_match_feats[f_idx], K_p, invK_p,
-                                      depth_bins, rel[:, f_idx])
-        costs_a.append(reduce_cost_groups(warped * ref_a[:, None],
-                                          cfg.reg3d_c))
-        costs_b.append(reduce_cost_groups(warped * ref_b[:, None],
-                                          cfg.reg3d_c))
-    updates = {}
-    out = []
-    for cor in (fuse_frames(costs_a), fuse_frames(costs_b)):
-        cor = constrain(cor, "data", "model")
-        logits, bs = _apply(models, variables, "reg3d", cor, train=train)
-        cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
-        depth = localmax(
-            cost_prob, cfg.norm_radius, cfg.num_depth_bins,
-            1.0 / depth_bins[:, -1], 1.0 / depth_bins[:, 0],
-        )
-        out.append((depth, cost_prob))
-        if bs is not None:
-            updates["reg3d"] = bs  # last write wins, like the reference's
-            # second sequential pass (see PARITY.md)
-    return out[0][0], out[0][1], out[1][0], updates
+            from movedepth_tpu.ops.costvolume import sweep_grid
+            from movedepth_tpu.ops.pallas.sweep_warp import (
+                grid_to_pixel,
+                sweep_warp,
+            )
+        rw = cfg.sweep_row_window or None
+        costs_a = []
+        costs_b = []
+        for f_idx in range(len(cfg.matching_ids) - 1):
+            if use_pallas:
+                h, w = depth_bins.shape[-2], depth_bins.shape[-1]
+                grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
+                sx, sy = grid_to_pixel(grid, h, w)
+                warped = sweep_warp(src_match_feats[f_idx], sx, sy,
+                                    row_window=rw)
+            else:
+                from movedepth_tpu.ops.costvolume import plane_sweep_warp
+                warped = plane_sweep_warp(src_match_feats[f_idx], K_p,
+                                          invK_p, depth_bins, rel[:, f_idx])
+            costs_a.append(reduce_cost_groups(warped * ref_a[:, None],
+                                              cfg.reg3d_c))
+            costs_b.append(reduce_cost_groups(warped * ref_b[:, None],
+                                              cfg.reg3d_c))
+        updates = {}
+        out = []
+        for cor in (fuse_frames(costs_a), fuse_frames(costs_b)):
+            cor = constrain(cor, "data", "model")
+            logits, bs = _apply(models, variables, "reg3d", cor,
+                                train=train)
+            cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
+            depth = localmax(
+                cost_prob, cfg.norm_radius, cfg.num_depth_bins,
+                1.0 / depth_bins[:, -1], 1.0 / depth_bins[:, 0],
+            )
+            out.append((depth, cost_prob))
+            if bs is not None:
+                updates["reg3d"] = bs  # last write wins, like the
+                # reference's second sequential pass (see PARITY.md)
+        return out[0][0], out[0][1], out[1][0], updates
+
+    if remat:
+        trunk = jax.checkpoint(trunk)
+    return trunk(variables, ref_a, ref_b, src_match_feats, depth_bins,
+                 K_p, invK_p, rel)
 
 
 def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
@@ -311,7 +336,7 @@ def _multi_warp(src, grid, use_pallas=False):
     return out.reshape(b, *out.shape[2:])
 
 def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
-                       cfg: Config, rng, mvs_mask=None):
+                       cfg: Config, rng, mvs_mask=None, remat: bool = False):
     """All reprojection losses in one fused multi-warp per source frame.
 
     Semantically identical to the reference's three loss passes
@@ -346,7 +371,42 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         depth_scales.append(d)
     depth_all = jnp.stack(depth_scales + [depth_mvs_full, fused_depth],
                           axis=1)  # (B, K, H, W)
-    pts = backproject(depth_all, invK0[:, None])  # (B, K, 4, HW)
+
+    # With ``remat`` the whole per-frame backproject -> project -> warp ->
+    # SSIM/L1 chain is rematerialized: its intermediates (homogeneous
+    # points 4x, the projection grids -- which the warp VJP would
+    # otherwise keep as ~5x-lane-padded residuals -- the warped stacks and
+    # the SSIM temporaries) are ~2 GB of the backward footprint at batch
+    # 32, while recomputing the chain is one extra warp-kernel launch per
+    # frame; residuals shrink to depth_all + the pose matrices. Without
+    # it, only the cheap gather-free SSIM tail is rematerialized.
+    use_pl = _use_pallas_warp(cfg, False)
+
+    def _reproj(wf, tf):
+        l1 = jnp.mean(jnp.abs(tf - wf), axis=-1, keepdims=True)
+        if cfg.no_ssim:
+            return l1, l1
+        sm = jnp.mean(ssim(wf, tf), axis=-1, keepdims=True)
+        return cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1, l1
+
+    def _frame_block(depth_all, T_all, K0, invK0, src, target):
+        pts = backproject(depth_all, invK0[:, None])  # (B, K, 4, HW)
+        grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
+        # These full-res warps are the train step's hottest op. The XLA
+        # gather formulation is ROW-RATE-bound on TPU (~127M rows/s), so
+        # on TPU they run as the border-mode one-hot MXU kernel with a
+        # custom coordinate VJP (ops/pallas/image_warp.py).
+        warped = _multi_warp(src, grid, use_pallas=use_pl)  # (B, K, H, W, 3)
+        wf = warped.reshape(b * k_all, h, w, 3)
+        tf = jnp.broadcast_to(target[:, None],
+                              (b, k_all, h, w, 3)).reshape(wf.shape)
+        rp, l1 = _reproj(wf, tf) if remat else jax.checkpoint(_reproj)(wf,
+                                                                       tf)
+        return (rp.reshape(b, k_all, h, w, 1),
+                l1.reshape(b, k_all, h, w, 1), warped[:, 0])
+
+    if remat:
+        _frame_block = jax.checkpoint(_frame_block)
 
     mono_reproj = []  # per frame: (B, nsc, H, W, 1)
     mvs_reproj = []
@@ -356,35 +416,9 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         T_live = cam_T_cam[f]
         T_det = lax.stop_gradient(T_live)
         T_all = jnp.stack([T_live] * nsc + [T_det, T_det], axis=1)
-        grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
-        # These full-res warps are the train step's hottest op. The XLA
-        # gather formulation is ROW-RATE-bound on TPU (~127M rows/s), so
-        # on TPU they run as the border-mode one-hot MXU kernel with a
-        # custom coordinate VJP (ops/pallas/image_warp.py).
         src = color[:, fid_to_idx[f]]
-        warped = _multi_warp(src, grid,
-                             use_pallas=_use_pallas_warp(cfg, False))
-        # (B, K, H, W, 3)
-        warped_log[f] = warped[:, 0]
-
-        wf = warped.reshape(b * k_all, h, w, 3)
-        tf = jnp.broadcast_to(target[:, None],
-                              (b, k_all, h, w, 3)).reshape(wf.shape)
-
-        # rematerialized: the SSIM tail is cheap, gather-free elementwise
-        # math whose intermediates (~6 full-res tensors per source frame)
-        # otherwise dominate the backward's activation footprint
-        @jax.checkpoint
-        def _reproj(wf, tf):
-            l1 = jnp.mean(jnp.abs(tf - wf), axis=-1, keepdims=True)
-            if cfg.no_ssim:
-                return l1, l1
-            sm = jnp.mean(ssim(wf, tf), axis=-1, keepdims=True)
-            return cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1, l1
-
-        rp, l1 = _reproj(wf, tf)
-        rp = rp.reshape(b, k_all, h, w, 1)
-        l1 = l1.reshape(b, k_all, h, w, 1)
+        rp, l1, w0 = _frame_block(depth_all, T_all, K0, invK0, src, target)
+        warped_log[f] = w0
         mono_reproj.append(rp[:, :nsc])
         mvs_reproj.append(rp[:, nsc])
         fuse_reproj.append(l1[:, nsc + 1])  # fuse uses ssim_lw=0 == pure L1
@@ -515,30 +549,38 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     h, w = cfg.height, cfg.width
     fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 
+    # Memory/speed trade (static at trace time): batches over 8/chip
+    # rematerialize the encoders, the MVS trunk and the photometric frame
+    # blocks -- without it batch 16+ exceeds the 16 GB HBM; with it batch
+    # 8 would pay ~25% recompute it does not need.
+    heavy = train and b > 8
+
     # 1. poses
     if cfg.load_pose:
         cam_T_cam, rel, upd = poses_from_batch(batch, cfg)
     else:
         cam_T_cam, rel, upd = predict_poses(models, variables, batch, cfg,
-                                            train=train)
+                                            train=train, remat=heavy)
     updates.update(upd)
 
     # 2. matching features (reference trainer.py:317-322)
     (ref_match, ref_ctx), bs = _apply(models, variables, "mvs_encoder",
-                                      color_aug[:, 0], train=train)
+                                      color_aug[:, 0], train=train,
+                                      remat=heavy)
     if bs is not None:
         updates["mvs_encoder"] = bs
     src_matches = []
     for f in cfg.matching_ids[1:]:
         (sm, _), bs = _apply(models, variables, "mvs_encoder",
-                             color_aug[:, fid_to_idx[f]], train=train)
+                             color_aug[:, fid_to_idx[f]], train=train,
+                             remat=heavy)
         src_matches.append(sm)
         if bs is not None:
             updates["mvs_encoder"] = bs
 
     # 3. mono path (reference trainer.py:325-326)
     feats, bs = _apply(models, variables, "mono_encoder", color_aug[:, 0],
-                       train=train)
+                       train=train, remat=heavy)
     if bs is not None:
         updates["mono_encoder"] = bs
     disps, _ = _apply(models, variables, "mono_depth", feats)
@@ -563,12 +605,12 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     masked_img, aug_mask = random_image_mask(sub, color_aug[:, 0],
                                              (h // 3, w // 3))
     (ref_aug, _), bs = _apply(models, variables, "mvs_encoder", masked_img,
-                              train=train)
+                              train=train, remat=heavy)
     if bs is not None:
         updates["mvs_encoder"] = bs
     depth_mvs, cost_prob, depth_mvs_aug, upd = mvs_depth_two_pass(
         models, variables, ref_match, ref_aug, src_matches, bins, K_p,
-        invK_p, rel, cfg, train=train)
+        invK_p, rel, cfg, train=train, remat=heavy)
     updates.update(upd)
     ent = entropy(cost_prob, axis=1, keepdims=True)  # (B, 1, h, w)
     trust_mono, bs = _apply(models, variables, "mask_cnn",
@@ -605,7 +647,7 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     rng, sub = jax.random.split(rng)
     losses, warped_log = photometric_losses(
         disps, depth_mvs_full, fused, batch, cam_T_cam, cfg, sub,
-        mvs_mask=mvs_mask)
+        mvs_mask=mvs_mask, remat=heavy)
     losses["masked_loss"] = masked_loss
 
     total = (losses["mono_loss"] + losses["masked_loss"]
