@@ -112,6 +112,11 @@ class Config:
     sweep_row_window: int = 16
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
+    # train batches per chip ABOVE this rematerialize the encoders, the MVS
+    # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
+    # fits the 16 GB HBM; at/below it, full-speed (no recompute). Static at
+    # trace time.
+    remat_batch_threshold: int = 8
     # robust training: random frame offsets (reference: mono_dataset rt flag)
     robust_train: bool = False
 

@@ -549,11 +549,11 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     h, w = cfg.height, cfg.width
     fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 
-    # Memory/speed trade (static at trace time): batches over 8/chip
-    # rematerialize the encoders, the MVS trunk and the photometric frame
-    # blocks -- without it batch 16+ exceeds the 16 GB HBM; with it batch
-    # 8 would pay ~25% recompute it does not need.
-    heavy = train and b > 8
+    # Memory/speed trade (static at trace time): batches over the
+    # threshold rematerialize the encoders, the MVS trunk and the
+    # photometric frame blocks -- without it batch 16+ exceeds the 16 GB
+    # HBM; with it batch 8 would pay ~25% recompute it does not need.
+    heavy = train and b > cfg.remat_batch_threshold
 
     # 1. poses
     if cfg.load_pose:
