@@ -114,9 +114,15 @@ class Config:
     native_loader: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
     # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
-    # fits the 16 GB HBM; at/below it, full-speed (no recompute). Static at
-    # trace time.
-    remat_batch_threshold: int = 8
+    # fits the 16 GB HBM; at/below it, full-speed (no recompute). At the
+    # shipped 640x192 the measured no-remat footprint is ~12.4 GB at batch
+    # 24 (see PROFILE.md), so 24 is the largest full-speed batch. Static
+    # at trace time.
+    remat_batch_threshold: int = 24
+    # what the heavy path recomputes: "full" = encoders/poses too,
+    # "mvs" = only the cost-volume trunk + photometric frame blocks
+    # (faster backward, a few GB more residuals)
+    remat_scope: str = "full"
     # robust training: random frame offsets (reference: mono_dataset rt flag)
     robust_train: bool = False
 

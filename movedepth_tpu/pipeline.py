@@ -550,37 +550,40 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 
     # Memory/speed trade (static at trace time): batches over the
-    # threshold rematerialize the encoders, the MVS trunk and the
-    # photometric frame blocks -- without it batch 16+ exceeds the 16 GB
-    # HBM; with it batch 8 would pay ~25% recompute it does not need.
+    # threshold rematerialize -- without it batch 32 exceeds the 16 GB
+    # HBM; with it batch <= 24 would pay recompute it does not need.
+    # remat_scope picks what recomputes: "full" also remats the encoder
+    # and pose convs, "mvs" only the big cost-volume/photometric blocks
+    # (cheaper backward, a few GB more residuals).
     heavy = train and b > cfg.remat_batch_threshold
+    heavy_enc = heavy and cfg.remat_scope == "full"
 
     # 1. poses
     if cfg.load_pose:
         cam_T_cam, rel, upd = poses_from_batch(batch, cfg)
     else:
         cam_T_cam, rel, upd = predict_poses(models, variables, batch, cfg,
-                                            train=train, remat=heavy)
+                                            train=train, remat=heavy_enc)
     updates.update(upd)
 
     # 2. matching features (reference trainer.py:317-322)
     (ref_match, ref_ctx), bs = _apply(models, variables, "mvs_encoder",
                                       color_aug[:, 0], train=train,
-                                      remat=heavy)
+                                      remat=heavy_enc)
     if bs is not None:
         updates["mvs_encoder"] = bs
     src_matches = []
     for f in cfg.matching_ids[1:]:
         (sm, _), bs = _apply(models, variables, "mvs_encoder",
                              color_aug[:, fid_to_idx[f]], train=train,
-                             remat=heavy)
+                             remat=heavy_enc)
         src_matches.append(sm)
         if bs is not None:
             updates["mvs_encoder"] = bs
 
     # 3. mono path (reference trainer.py:325-326)
     feats, bs = _apply(models, variables, "mono_encoder", color_aug[:, 0],
-                       train=train, remat=heavy)
+                       train=train, remat=heavy_enc)
     if bs is not None:
         updates["mono_encoder"] = bs
     disps, _ = _apply(models, variables, "mono_depth", feats)
@@ -605,7 +608,7 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     masked_img, aug_mask = random_image_mask(sub, color_aug[:, 0],
                                              (h // 3, w // 3))
     (ref_aug, _), bs = _apply(models, variables, "mvs_encoder", masked_img,
-                              train=train, remat=heavy)
+                              train=train, remat=heavy_enc)
     if bs is not None:
         updates["mvs_encoder"] = bs
     depth_mvs, cost_prob, depth_mvs_aug, upd = mvs_depth_two_pass(

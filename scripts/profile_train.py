@@ -41,13 +41,15 @@ def _perturb(tree, carry):
 
 def scan_time(fn, *args, n_long=6, n_short=2):
     """ms/iter of fn(*args)->scalar, long/short scan differenced.
-    args[0] is perturbed by the carry each iteration so XLA cannot
-    hoist the loop-invariant body out of the scan."""
+    EVERY float input is perturbed by the carry each iteration so XLA
+    cannot hoist any loop-invariant subcomputation out of the scan
+    (e.g. the trunk stage's sweep warp depends only on the feature
+    inputs -- perturbing just the weights would let it hoist)."""
 
     def make(n):
         def outer(*args):
             def body(carry, _):
-                out = fn(_perturb(args[0], carry), *args[1:])
+                out = fn(*(_perturb(a, carry) for a in args))
                 return out.astype(jnp.float32), ()
 
             f, _ = lax.scan(body, jnp.float32(0), None, length=n)

@@ -193,20 +193,24 @@ def test_heavy_remat_path_matches_light():
                                    use_z_bins=jnp.asarray(True))
         return total
 
-    heavy_cfg = cfg.replace(remat_batch_threshold=0)  # batch 2 > 0: heavy
     l0, g0 = jax.value_and_grad(loss_fn)(variables, cfg)
-    l1, g1 = jax.value_and_grad(loss_fn)(variables, heavy_cfg)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
-    assert jax.tree_util.tree_structure(g0) == jax.tree_util.tree_structure(g1)
-    for name in g0:
-        n0 = np.sqrt(sum(float(jnp.sum(x.astype(jnp.float32) ** 2))
-                         for x in jax.tree_util.tree_leaves(g0[name])))
-        nd = np.sqrt(sum(
-            float(jnp.sum((a.astype(jnp.float32)
-                           - b.astype(jnp.float32)) ** 2))
-            for a, b in zip(jax.tree_util.tree_leaves(g0[name]),
-                            jax.tree_util.tree_leaves(g1[name]))))
-        # tolerance: subgradient tie-flips at min-over-frames pixels give
-        # O(1e-3) relative differences on synthetic data; a structurally
-        # wrong remat (dropped path, doubled contribution) gives O(1)
-        assert nd <= 3e-2 * max(n0, 1e-8), (name, nd, n0)
+    for scope in ("full", "mvs"):
+        heavy_cfg = cfg.replace(remat_batch_threshold=0,  # batch 2 > 0
+                                remat_scope=scope)
+        l1, g1 = jax.value_and_grad(loss_fn)(variables, heavy_cfg)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+        assert (jax.tree_util.tree_structure(g0)
+                == jax.tree_util.tree_structure(g1))
+        for name in g0:
+            n0 = np.sqrt(sum(float(jnp.sum(x.astype(jnp.float32) ** 2))
+                             for x in jax.tree_util.tree_leaves(g0[name])))
+            nd = np.sqrt(sum(
+                float(jnp.sum((a.astype(jnp.float32)
+                               - b.astype(jnp.float32)) ** 2))
+                for a, b in zip(jax.tree_util.tree_leaves(g0[name]),
+                                jax.tree_util.tree_leaves(g1[name]))))
+            # tolerance: subgradient tie-flips at min-over-frames pixels
+            # give O(1e-3) relative differences on synthetic data; a
+            # structurally wrong remat (dropped path, doubled
+            # contribution) gives O(1)
+            assert nd <= 3e-2 * max(n0, 1e-8), (scope, name, nd, n0)
