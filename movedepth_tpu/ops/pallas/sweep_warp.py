@@ -80,15 +80,17 @@ def _row_block(h: int, rb: int) -> int:
     return rb
 
 
-def _stack_group(db: int, rb: int, w: int) -> int:
+def _stack_group(db: int, rb: int, w: int, rwc: int) -> int:
     """Bins stacked into one MXU issue, bounding M = sg*rb*W.
 
-    The f32 temporaries (one-hot V parts + their concat, the MXU result
-    and the V product, each M*2KB at RW*C = 512) must all fit the 16 MB
-    scoped-VMEM limit simultaneously -- Mosaic does not reuse stack
-    slots across unrolled iterations. Measured on v5e: M = 640 compiles
-    (the round-1 kernel's working point), M = 1280 does not (18.1 MB)."""
-    return min(db, 4, max(1, 640 // (rb * w)))
+    The f32 temporaries (the MXU result, the V product and the narrow-V
+    expansion staging, each M*RW*C*4B) must all fit the 16 MB scoped-VMEM
+    limit simultaneously -- Mosaic does not reuse stack slots across
+    unrolled iterations. The budget is anchored at the measured v5e
+    working point M = 640 at RW*C = 512 (M = 1280 there does not compile)
+    and scales inversely with the window size, so the wider fallback
+    ladder rungs stack fewer bins instead of overflowing the stack."""
+    return min(db, 4, max(1, (640 * 512 // rwc) // (rb * w)))
 
 
 def _window_base(y0i, R, RW, C):
@@ -173,6 +175,20 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
     # window-relative row index of each lane under the (r*C + c) layout
     lane_r = lax.broadcasted_iota(jnp.int32, (w, RW * C), 1) // C
+    # On the bf16 (production) path the one-hots are built as bilinear
+    # HAT functions, max(0, 1 - |index - coord|): 3 VPU ops/element vs the
+    # where-form's 5 (2 int compares + 2 selects + add); the one-hot
+    # builds are the kernel's dominant VPU cost. The hat taps differ from
+    # the where-form by <= 1-2 f32 ulp from reassociation (1-(1-fx) vs
+    # fx), which vanishes in this path's bf16 weight rounding. The f32
+    # path keeps the where-form: it exists for bit-exact gather parity,
+    # not speed. (A narrow (W, RW) V build + MXU one-hot expansion was
+    # also tried: slower -- per-group K=16 matmuls are issue-bound and
+    # 16-lane arrays waste 7/8 of every VPU register.)
+    hat = dt != jnp.float32
+    if hat:
+        qf = q.astype(jnp.float32)
+        lane_rf = lane_r.astype(jnp.float32)
 
     # clip guards int32 overflow; anything past [-1, size] contributes 0
     sx_all = jnp.clip(sx_ref[0, :, 0], -2.0, w + 1.0)  # (RB, W, db)
@@ -203,21 +219,29 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     # (row, bin). sg is bounded to keep the f32 temporaries inside
     # scoped VMEM (Mosaic does not reuse stack slots across the unrolled
     # one-hot constructions, so every (M, RW*C) temporary counts).
-    sg = _stack_group(db, RB, w)
+    sg = _stack_group(db, RB, w, RW * C)
     for g in range(0, db, sg):
         sg = min(sg, db - g)  # ragged tail when sg does not divide db
         h_parts = []
         v_parts = []
         for d in range(g, g + sg):
             for k in range(RB):
-                fx = fx_all[k, :, d:d + 1]
-                fy = fy_all[k, :, d:d + 1]
-                x0i = x0_all[k, :, d:d + 1]
-                rel = y0_all[k, :, d:d + 1] - r0  # window-relative tap row
-                h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
-                               + jnp.where(q == x0i + 1, fx, 0.0))
-                v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
-                               + jnp.where(lane_r == rel + 1, fy, 0.0))
+                if hat:
+                    sxc = sx_all[k, :, d:d + 1]
+                    syc = sy_all[k, :, d:d + 1] - r0
+                    h_parts.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(qf - sxc)))
+                    v_parts.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(lane_rf - syc)))
+                else:
+                    fx = fx_all[k, :, d:d + 1]
+                    fy = fy_all[k, :, d:d + 1]
+                    x0i = x0_all[k, :, d:d + 1]
+                    rel = y0_all[k, :, d:d + 1] - r0  # window-rel tap row
+                    h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
+                                   + jnp.where(q == x0i + 1, fx, 0.0))
+                    v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
+                                   + jnp.where(lane_r == rel + 1, fy, 0.0))
         h_all = jnp.concatenate(h_parts, axis=0).astype(dt)  # (M, Wsrc)
         v_all = jnp.concatenate(v_parts, axis=0)  # (M, RW*C)
         hi = jnp.dot(h_all, src_w, precision=prec,
@@ -359,12 +383,18 @@ def _windowed_dispatch(call, sy_t, r, c, rw, rb):
     if rw is None or rw >= r:
         return call(r, 1)
     ladder = _window_ladder(rw, r, c)
+    h = sy_t.shape[1]
+    # wider rungs halve the row block so M*RW*C (the scoped-VMEM unit of
+    # the kernel's f32 temporaries) stays at the rung-0 working point --
+    # sg bottoms out at 1, so _stack_group alone cannot shrink M
+    rbs = [_row_block(h, max(1, rb * ladder[0] // wdt)) for wdt in ladder]
+    rbs[-1] = 1  # exact full-row level: (M, R*C) temps are the widest
 
     def build(i):
         if i == len(ladder) - 1:
-            return lambda: call(ladder[i], 1)
-        ok = _coverage_ok(sy_t, r, ladder[i], c, rb)
-        return lambda: lax.cond(ok, lambda: call(ladder[i], rb),
+            return lambda: call(ladder[i], rbs[i])
+        ok = _coverage_ok(sy_t, r, ladder[i], c, rbs[i])
+        return lambda: lax.cond(ok, lambda: call(ladder[i], rbs[i]),
                                 build(i + 1))
 
     return build(0)()
