@@ -18,6 +18,7 @@ from movedepth_tpu.models.layers import (
     ConvBNReLU,
     ConvBnReLU3D,
     ConvTransposeTorch,
+    TorchBatchNorm,
 )
 from movedepth_tpu.ops.sampling import resize_bilinear
 
@@ -163,8 +164,8 @@ class Reg3D(nn.Module):
             dtype=self.dtype, name=n,
         )
         bnrelu = lambda y, n: nn.relu(
-            nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.axis_name, name=n)(
+            TorchBatchNorm(dtype=self.dtype,
+                           axis_name=self.axis_name, name=n)(
                 y, use_running_average=not train)
         )
 
@@ -208,8 +209,8 @@ class Reg2D(nn.Module):
             dtype=self.dtype, name=n,
         )
         bnrelu = lambda y, n: nn.relu(
-            nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.axis_name, name=n)(
+            TorchBatchNorm(dtype=self.dtype,
+                           axis_name=self.axis_name, name=n)(
                 y, use_running_average=not train)
         )
         conv0 = c(bc, 1, "conv0")(x, train)
@@ -255,8 +256,8 @@ class DCNConv2d(nn.Module):
             (k, k, x.shape[-1], self.features))
         y = deform_conv2d(x, offsets, gates, weight, kernel_size=k)
         if self.use_bn:
-            y = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.axis_name, name="bn")(
+            y = TorchBatchNorm(dtype=self.dtype,
+                               axis_name=self.axis_name, name="bn")(
                 y, use_running_average=not train)
         if self.relu:
             y = nn.relu(y)

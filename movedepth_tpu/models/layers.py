@@ -24,15 +24,77 @@ import flax.linen as nn
 from jax import lax
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-default hyperparameters and a FUSED eval path.
+
+    Variable tree is identical to ``nn.BatchNorm`` (params ``scale``/
+    ``bias``, batch_stats ``mean``/``var``, all f32), and the training
+    path reproduces flax/torch arithmetic exactly: f32 global-batch
+    statistics (mean / mean-of-squares, biased variance -- SyncBN for
+    free under GSPMD, ``axis_name`` for shard_map/pmap), f32 normalize,
+    cast to the compute dtype.
+
+    The eval path is why this exists: flax's ``nn.BatchNorm`` always
+    normalizes in f32 even at ``dtype=bfloat16``, and on the cost-volume
+    trunk XLA leaves those f32 sub/mul/add as standalone HLO ops -- three
+    extra 1.3 GB passes over each full-resolution volume (~10 ms/step at
+    batch 128, measured via scripts/dump_mvs_hlo.py). With running stats
+    the transform is affine, so the bf16 eval path folds it to one
+    per-channel ``x * A + B`` computed in f32 on (C,) vectors and applied
+    in the compute dtype, which XLA fuses into the producing conv. The
+    f32 eval path keeps flax's exact op order for bit-parity with the
+    torch goldens.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        f32 = jnp.float32
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), f32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), f32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, f32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, f32), (feat,))
+        out_dt = self.dtype or jnp.promote_types(x.dtype, f32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            if jnp.dtype(out_dt) == f32:
+                mul = lax.rsqrt(var + self.epsilon) * scale
+                return ((x.astype(f32) - mean) * mul + bias).astype(out_dt)
+            a = scale * lax.rsqrt(var + self.epsilon)
+            b = bias - mean * a
+            return (x.astype(out_dt) * a.astype(out_dt)
+                    + b.astype(out_dt))
+
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(f32)
+        mean = jnp.mean(xf, axis=axes)
+        mean2 = jnp.mean(xf * xf, axis=axes)
+        if self.axis_name is not None:
+            mean = lax.pmean(mean, self.axis_name)
+            mean2 = lax.pmean(mean2, self.axis_name)
+        var = mean2 - mean * mean  # biased, like flax/torch normalization
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        mul = lax.rsqrt(var + self.epsilon) * scale
+        return ((xf - mean) * mul + bias).astype(out_dt)
+
+
 def torch_batchnorm(dtype=None, axis_name=None, name="bn"):
     """BatchNorm with torch-default hyperparameters (eps 1e-5, momentum 0.1).
 
     flax momentum = 1 - torch momentum.
     """
-    return nn.BatchNorm(
-        momentum=0.9, epsilon=1e-5, dtype=dtype, axis_name=axis_name,
-        name=name,
-    )
+    return TorchBatchNorm(dtype=dtype, axis_name=axis_name, name=name)
 
 
 class _Conv2dParams(nn.Module):

@@ -197,6 +197,15 @@ def fuse_frames(cost_list, weight_axis="group"):
     two agree after normalization for a single matching frame (the shipped
     config), see SURVEY.md section 7.
     """
+    if len(cost_list) == 1 and cost_list[0].dtype == jnp.bfloat16:
+        # Single-frame fusion is identity to below-bf16-ulp accuracy:
+        # the weight factor w / (1e-8 + w) with w = max softmax prob
+        # >= 1/D differs from 1 by < 1e-7, far under the ~4e-3 bf16
+        # resolution, so the reference arithmetic would round back to
+        # ``cost`` anyway -- minus ~4.7 ms of full-volume passes at
+        # batch 128 (measured, scripts/profile_mvs.py). The f32 and
+        # multi-frame paths keep the reference arithmetic exactly.
+        return cost_list[0]
     wsum = 1e-8
     acc = 0.0
     for cost in cost_list:

@@ -154,6 +154,18 @@ def _cw_onehots(sx_row, sy_row, R, C, RW, w, r0, dt, derivative):
     qT = lax.broadcasted_iota(jnp.int32, (w, w), 0)  # [q, x] = q
     rT = lax.broadcasted_iota(jnp.int32, (RW * C, w), 0) // C
 
+    if derivative is None and dt != jnp.float32:
+        # bf16 production forward: bilinear HAT build, 3 VPU ops/element
+        # vs the where-form's 5 (see sweep_warp._sweep_body; <= 1-2 f32
+        # ulp reassociation difference, below this path's bf16 rounding).
+        # The derivative forms and the f32 parity path keep the exact
+        # compare/select construction.
+        ht = jnp.maximum(0.0, 1.0 - jnp.abs(qT.astype(jnp.float32)
+                                            - sx_row))
+        vt = jnp.maximum(0.0, 1.0 - jnp.abs(rT.astype(jnp.float32)
+                                            - (sy_row - r0)))
+        return ht.astype(dt), vt
+
     x0 = jnp.floor(sx_row)
     y0 = jnp.floor(sy_row)
     fx = sx_row - x0

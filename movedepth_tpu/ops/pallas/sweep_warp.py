@@ -172,9 +172,6 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
             else lax.Precision.DEFAULT)
 
-    q = lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    # window-relative row index of each lane under the (r*C + c) layout
-    lane_r = lax.broadcasted_iota(jnp.int32, (w, RW * C), 1) // C
     # On the bf16 (production) path the one-hots are built as bilinear
     # HAT functions, max(0, 1 - |index - coord|): 3 VPU ops/element vs the
     # where-form's 5 (2 int compares + 2 selects + add); the one-hot
@@ -186,19 +183,11 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     # also tried: slower -- per-group K=16 matmuls are issue-bound and
     # 16-lane arrays waste 7/8 of every VPU register.)
     hat = dt != jnp.float32
-    if hat:
-        qf = q.astype(jnp.float32)
-        lane_rf = lane_r.astype(jnp.float32)
 
     # clip guards int32 overflow; anything past [-1, size] contributes 0
     sx_all = jnp.clip(sx_ref[0, :, 0], -2.0, w + 1.0)  # (RB, W, db)
     sy_all = jnp.clip(sy_ref[0, :, 0], -2.0, R + 1.0)
-    x0 = jnp.floor(sx_all)
-    y0 = jnp.floor(sy_all)
-    fx_all = sx_all - x0
-    fy_all = sy_all - y0
-    x0_all = x0.astype(jnp.int32)
-    y0_all = y0.astype(jnp.int32)
+    y0_all = jnp.floor(sy_all).astype(jnp.int32)  # window base only
 
     if RW == R:
         r0 = 0
@@ -219,31 +208,39 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     # (row, bin). sg is bounded to keep the f32 temporaries inside
     # scoped VMEM (Mosaic does not reuse stack slots across the unrolled
     # one-hot constructions, so every (M, RW*C) temporary counts).
-    sg = _stack_group(db, RB, w, RW * C)
-    for g in range(0, db, sg):
-        sg = min(sg, db - g)  # ragged tail when sg does not divide db
-        h_parts = []
-        v_parts = []
-        for d in range(g, g + sg):
-            for k in range(RB):
-                if hat:
-                    sxc = sx_all[k, :, d:d + 1]
-                    syc = sy_all[k, :, d:d + 1] - r0
-                    h_parts.append(
-                        jnp.maximum(0.0, 1.0 - jnp.abs(qf - sxc)))
-                    v_parts.append(
-                        jnp.maximum(0.0, 1.0 - jnp.abs(lane_rf - syc)))
-                else:
-                    fx = fx_all[k, :, d:d + 1]
-                    fy = fy_all[k, :, d:d + 1]
-                    x0i = x0_all[k, :, d:d + 1]
-                    rel = y0_all[k, :, d:d + 1] - r0  # window-rel tap row
-                    h_parts.append(jnp.where(q == x0i, 1.0 - fx, 0.0)
-                                   + jnp.where(q == x0i + 1, fx, 0.0))
-                    v_parts.append(jnp.where(lane_r == rel, 1.0 - fy, 0.0)
-                                   + jnp.where(lane_r == rel + 1, fy, 0.0))
-        h_all = jnp.concatenate(h_parts, axis=0).astype(dt)  # (M, Wsrc)
-        v_all = jnp.concatenate(v_parts, axis=0)  # (M, RW*C)
+    sg0 = _stack_group(db, RB, w, RW * C)
+    for g in range(0, db, sg0):
+        sg = min(sg0, db - g)  # ragged tail when sg0 does not divide db
+        m = sg * RB * w
+        # (M, 1) coordinate columns in (bin, row)-major order: the stack
+        # interleave moves M floats instead of concatenating full-width
+        # one-hot parts (Mosaic materializes each concat as a copy), and
+        # the one-hots are then built in ONE broadcast op pair at (M, .)
+        sxc = jnp.concatenate(
+            [sx_all[k, :, d:d + 1] for d in range(g, g + sg)
+             for k in range(RB)], axis=0)  # (M, 1)
+        syc = jnp.concatenate(
+            [sy_all[k, :, d:d + 1] for d in range(g, g + sg)
+             for k in range(RB)], axis=0) - r0  # window-relative
+        qm = lax.broadcasted_iota(jnp.int32, (m, w), 1)
+        lane_rm = lax.broadcasted_iota(jnp.int32, (m, RW * C), 1) // C
+        if hat:
+            h_all = jnp.maximum(
+                0.0, 1.0 - jnp.abs(qm.astype(jnp.float32) - sxc)
+            ).astype(dt)  # (M, Wsrc)
+            v_all = jnp.maximum(
+                0.0, 1.0 - jnp.abs(lane_rm.astype(jnp.float32) - syc))
+        else:
+            x0 = jnp.floor(sxc)
+            fx = sxc - x0
+            x0i = x0.astype(jnp.int32)
+            y0 = jnp.floor(syc)
+            fy = syc - y0
+            rel = y0.astype(jnp.int32)  # window-relative tap row
+            h_all = (jnp.where(qm == x0i, 1.0 - fx, 0.0)
+                     + jnp.where(qm == x0i + 1, fx, 0.0)).astype(dt)
+            v_all = (jnp.where(lane_rm == rel, 1.0 - fy, 0.0)
+                     + jnp.where(lane_rm == rel + 1, fy, 0.0))
         hi = jnp.dot(h_all, src_w, precision=prec,
                      preferred_element_type=jnp.float32)  # (M, RW*C)
         # sum over the window rows: halving lane adds (VPU, mostly

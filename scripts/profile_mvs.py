@@ -144,6 +144,28 @@ def main():
                      1.0 / bins[:, -1], 1.0 / bins[:, 0])
         return s(d)
 
+    # ---- cumulative prefixes: localize composition overhead (layout
+    # copies / lost fusion) that the isolated stages above cannot see
+    def cum_kernel(mt, bins, K_p, invK_p, rel, eps):
+        g = sweep_grid(bins + eps, K_p, invK_p, rel[:, 0])
+        sx, sy = grid_to_pixel(g, h, w)
+        out = sweep_warp_corr(mt[:, 1], mt[:, 0], sx, sy, cfg.reg3d_c)
+        return s(out)
+
+    def cum_fuse(mt, bins, K_p, invK_p, rel, eps):
+        g = sweep_grid(bins + eps, K_p, invK_p, rel[:, 0])
+        sx, sy = grid_to_pixel(g, h, w)
+        out = sweep_warp_corr(mt[:, 1], mt[:, 0], sx, sy, cfg.reg3d_c)
+        return s(fuse_frames([out], weight_axis="depth"))
+
+    def cum_reg(v, mt, bins, K_p, invK_p, rel, eps):
+        g = sweep_grid(bins + eps, K_p, invK_p, rel[:, 0])
+        sx, sy = grid_to_pixel(g, h, w)
+        out = sweep_warp_corr(mt[:, 1], mt[:, 0], sx, sy, cfg.reg3d_c)
+        cor = fuse_frames([out], weight_axis="depth")
+        logits = models["reg3d"].apply(v["reg3d"], cor, False)
+        return s(logits)
+
     stages = [
         ("coords (sweep_grid+to_pixel)", coords, (bins, K_p, invK_p, rel)),
         ("sweep_warp_corr kernel", kernel_only, (mt, sx, sy)),
@@ -151,6 +173,9 @@ def main():
         ("softmax+localmax", softmax_localmax, (cor, bins)),
         ("reg3d", reg, (v3, cor)),
         ("reg3d+softmax+localmax", reg_softmax_localmax, (v3, cor, bins)),
+        ("cum: coords+kernel", cum_kernel, (mt, bins, K_p, invK_p, rel)),
+        ("cum: +fuse", cum_fuse, (mt, bins, K_p, invK_p, rel)),
+        ("cum: +reg3d", cum_reg, (variables, mt, bins, K_p, invK_p, rel)),
         ("mvs_depth_from_features", whole_trunk,
          (variables, mt, bins, K_p, invK_p, rel)),
     ]
