@@ -107,9 +107,12 @@ class Config:
     # fused Pallas plane-sweep warp (inference path; auto-disabled off-TPU)
     pallas_warp: bool = True
     # epipolar row-window width of the sweep kernel's fast path (a host-side
-    # coverage check falls back to the exact full-row kernel when the taps
-    # of any (row, bin-block) exceed the window); 0 disables windowing
-    sweep_row_window: int = 16
+    # coverage check falls back through a widening ladder to the exact
+    # full-row kernel when the taps of any (row, bin-block) exceed the
+    # window); 0 disables windowing. 8 halves the kernel's MXU work vs 16
+    # whenever the inter-frame vertical motion is sub-pixel (the KITTI
+    # regime); larger motion just takes the next rung.
+    sweep_row_window: int = 8
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS

@@ -17,6 +17,7 @@ from movedepth_tpu.models.layers import (
     Conv3x3,
     ConvBlock,
     depth_to_space22,
+    merged_conv3x3_reflect,
     torch_batchnorm,
 )
 from movedepth_tpu.ops.sampling import upsample_nearest_2x
@@ -45,6 +46,9 @@ class DepthDecoder(nn.Module):
     # the N-padding-bound 16-channel convs. Disabled automatically when a
     # side-head consumes the fine-resolution stage-0 features.
     fold_stage0: bool = True
+    # run each disp head merged into the next stage's first conv (both
+    # read the same features; one MXU issue instead of two N-padded ones)
+    merge_heads: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -53,10 +57,26 @@ class DepthDecoder(nn.Module):
         fold0 = (self.fold_stage0 and not self.ddv and not self.mono_conf
                  and not self.match_conv and 0 in self.scales)
         x = input_features[-1]
+        pending = None  # disp head deferred into the next stage's conv
         for i in range(4, -1, -1):
             num_ch_out = NUM_CH_DEC[i]
-            x = ConvBlock(num_ch_out, dtype=self.dtype,
-                          name=f"upconv_{i}_0")(x)
+            if pending is not None:
+                # dispconv_{i+1} reads the same x as upconv_i_0: run both
+                # as ONE conv -- each alone pads its output channels to the
+                # MXU's 128 lanes, so the merged disp head is free
+                ku, bu = ConvBlock(num_ch_out, dtype=self.dtype,
+                                   name=f"upconv_{i}_0")(x, fold="params")
+                kd, bd = Conv3x3(self.num_output_channels, dtype=self.dtype,
+                                 name=f"dispconv_{pending}")(x,
+                                                             fold="params")
+                u, d = merged_conv3x3_reflect(x, [ku, kd], [bu, bd],
+                                              self.dtype)
+                outputs[("disp", pending)] = nn.sigmoid(d)
+                x = nn.elu(u)
+                pending = None
+            else:
+                x = ConvBlock(num_ch_out, dtype=self.dtype,
+                              name=f"upconv_{i}_0")(x)
             if i == 0 and fold0:
                 x = ConvBlock(num_ch_out, dtype=self.dtype,
                               name="upconv_0_1")(x, fold="up2")
@@ -80,6 +100,8 @@ class DepthDecoder(nn.Module):
                     outputs[("ddv", i)] = ddv
                     outputs[("disp", i)] = jnp.sum(
                         ddv * grid, axis=-1, keepdims=True)
+                elif i > 0 and self.merge_heads and not self.mono_conf:
+                    pending = i  # merged into upconv_{i-1}_0 next stage
                 else:
                     outputs[("disp", i)] = nn.sigmoid(
                         Conv3x3(self.num_output_channels, dtype=self.dtype,

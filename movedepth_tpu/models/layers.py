@@ -191,6 +191,31 @@ class _Conv2dParams(nn.Module):
         return self._run(x, k3, b3)
 
 
+def merged_conv3x3_reflect(x, kernels, biases, dtype=None):
+    """ONE reflect-padded 3x3 conv for several convs sharing the input.
+
+    Each partner's output channels pad to the MXU's 128 lanes alone; the
+    merged issue pays that padding once, so every extra small head (the
+    decoder's 1-channel disp convs) is effectively free. Returns the
+    per-partner output slices (same math as running each conv alone).
+    """
+    widths = [k.shape[-1] for k in kernels]
+    kernel = jnp.concatenate(kernels, axis=-1)
+    bias = jnp.concatenate(biases)
+    dtype = dtype or jnp.promote_types(x.dtype, kernel.dtype)
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=dn) + bias.astype(dtype)
+    outs, off = [], 0
+    for wdt in widths:
+        outs.append(y[..., off:off + wdt])
+        off += wdt
+    return outs
+
+
 def depth_to_space22(x):
     """(B, H, W, 4*C) with channel order (a*2+b)*C + c -> (B, 2H, 2W, C)."""
     b, h, w, c4 = x.shape
@@ -214,6 +239,13 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x, fold: Optional[str] = None):
+        if fold == "params":
+            # expose (kernel, bias) so the caller can run this conv merged
+            # with a sibling that shares the input (see merged_conv3x3) --
+            # param path identical to the normal call
+            conv = _Conv2dParams(self.features, x.shape[-1],
+                                 dtype=self.dtype, name="conv")
+            return conv.kernel, conv.bias
         if fold is not None:
             assert self.use_refl, "folded schedules assume reflect padding"
             cin = x.shape[-1] if fold == "up2" else x.shape[-1] // 4
@@ -239,6 +271,8 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, fold: Optional[str] = None):
         x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x, fold)
+        if fold == "params":
+            return x  # (kernel, bias) pass-through; caller applies the ELU
         return nn.elu(x)
 
 

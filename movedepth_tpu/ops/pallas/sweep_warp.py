@@ -199,65 +199,73 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
         src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
 
     if G is not None:
-        # (RB*W, C) f32 reference block, tiled once per stack group below
+        # (RB*W, C) f32 reference block, reused by every bin's epilogue
         refblk = ref_ref[0].astype(jnp.float32).reshape(RB * w, C)
 
-    # build the one-hots per (bin, row), stack sg bins x RB rows along
-    # sublanes, contract once per group: a (sg*RB*W, Wsrc) @ (Wsrc, RW*C)
-    # issue amortizes the per-step fixed cost vs one matmul per
-    # (row, bin). sg is bounded to keep the f32 temporaries inside
+    mb = RB * w  # sublane rows of one bin
+    qm = lax.broadcasted_iota(jnp.int32, (mb, w), 1)
+    lane_rm = lax.broadcasted_iota(jnp.int32, (mb, RW * C), 1) // C
+
+    def h_of(sxc):
+        if hat:
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(qm.astype(jnp.float32) - sxc)
+            ).astype(dt)  # (mb, Wsrc)
+        x0 = jnp.floor(sxc)
+        fx = sxc - x0
+        x0i = x0.astype(jnp.int32)
+        return (jnp.where(qm == x0i, 1.0 - fx, 0.0)
+                + jnp.where(qm == x0i + 1, fx, 0.0)).astype(dt)
+
+    def v_of(syc):
+        if hat:
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(lane_rm.astype(jnp.float32) - syc))
+        y0 = jnp.floor(syc)
+        fy = syc - y0
+        rel = y0.astype(jnp.int32)  # window-relative tap row
+        return (jnp.where(lane_rm == rel, 1.0 - fy, 0.0)
+                + jnp.where(lane_rm == rel + 1, fy, 0.0))
+
+    # one-hots are built per BIN (a bin's RB coordinate columns share one
+    # lane offset, so their concat is legal -- Mosaic cannot concatenate
+    # vectors with mixed lane offsets), then sg bins' full-width H blocks
+    # stack along sublanes into one (sg*RB*W, Wsrc) @ (Wsrc, RW*C) MXU
+    # issue, amortizing the per-step fixed cost. The V product and the
+    # correlate/group-mean epilogue run per bin on sublane slices of the
+    # matmul result. sg is bounded to keep the f32 temporaries inside
     # scoped VMEM (Mosaic does not reuse stack slots across the unrolled
-    # one-hot constructions, so every (M, RW*C) temporary counts).
+    # constructions, so every (M, RW*C) temporary counts).
     sg0 = _stack_group(db, RB, w, RW * C)
     for g in range(0, db, sg0):
         sg = min(sg0, db - g)  # ragged tail when sg0 does not divide db
-        m = sg * RB * w
-        # (M, 1) coordinate columns in (bin, row)-major order: the stack
-        # interleave moves M floats instead of concatenating full-width
-        # one-hot parts (Mosaic materializes each concat as a copy), and
-        # the one-hots are then built in ONE broadcast op pair at (M, .)
-        sxc = jnp.concatenate(
-            [sx_all[k, :, d:d + 1] for d in range(g, g + sg)
-             for k in range(RB)], axis=0)  # (M, 1)
-        syc = jnp.concatenate(
-            [sy_all[k, :, d:d + 1] for d in range(g, g + sg)
-             for k in range(RB)], axis=0) - r0  # window-relative
-        qm = lax.broadcasted_iota(jnp.int32, (m, w), 1)
-        lane_rm = lax.broadcasted_iota(jnp.int32, (m, RW * C), 1) // C
-        if hat:
-            h_all = jnp.maximum(
-                0.0, 1.0 - jnp.abs(qm.astype(jnp.float32) - sxc)
-            ).astype(dt)  # (M, Wsrc)
-            v_all = jnp.maximum(
-                0.0, 1.0 - jnp.abs(lane_rm.astype(jnp.float32) - syc))
-        else:
-            x0 = jnp.floor(sxc)
-            fx = sxc - x0
-            x0i = x0.astype(jnp.int32)
-            y0 = jnp.floor(syc)
-            fy = syc - y0
-            rel = y0.astype(jnp.int32)  # window-relative tap row
-            h_all = (jnp.where(qm == x0i, 1.0 - fx, 0.0)
-                     + jnp.where(qm == x0i + 1, fx, 0.0)).astype(dt)
-            v_all = (jnp.where(lane_rm == rel, 1.0 - fy, 0.0)
-                     + jnp.where(lane_rm == rel + 1, fy, 0.0))
+        sycs, h_parts = [], []
+        for d in range(g, g + sg):
+            sxc = jnp.concatenate(
+                [sx_all[k, :, d:d + 1] for k in range(RB)], axis=0)
+            sycs.append(jnp.concatenate(
+                [sy_all[k, :, d:d + 1] for k in range(RB)],
+                axis=0) - r0)  # window-relative
+            h_parts.append(h_of(sxc))
+        h_all = (h_parts[0] if sg == 1
+                 else jnp.concatenate(h_parts, axis=0))
         hi = jnp.dot(h_all, src_w, precision=prec,
-                     preferred_element_type=jnp.float32)  # (M, RW*C)
-        # sum over the window rows: halving lane adds (VPU, mostly
-        # 128-aligned) instead of a (RW*C, C) one-hot matmul whose N=C
-        # pads 4x on the MXU; an odd remainder is added linearly
-        hv = _chunk_sum(hi * v_all, C)
-        if G is None:
-            out_ref[0, g:g + sg] = hv.reshape(sg, RB, w, C).astype(
-                out_ref.dtype)
-        else:
-            # fused epilogue: correlate with the reference rows, then the
-            # channel-group mean (C = K*G, mean over K) as halving adds
-            # under the (k*G + g) channel order
-            hv = hv * jnp.concatenate([refblk] * sg, axis=0)
-            hv = _chunk_sum(hv, G) * (G / C)
-            out_ref[0, g:g + sg] = hv.reshape(sg, RB, w, G).astype(
-                out_ref.dtype)
+                     preferred_element_type=jnp.float32)  # (sg*mb, RW*C)
+        for j in range(sg):
+            # sum over the window rows: halving lane adds (VPU, mostly
+            # 128-aligned) instead of a (RW*C, C) one-hot matmul whose
+            # N=C pads 4x on the MXU; an odd remainder is added linearly
+            hv = _chunk_sum(hi[j * mb:(j + 1) * mb] * v_of(sycs[j]), C)
+            if G is None:
+                out_ref[0, g + j] = hv.reshape(RB, w, C).astype(
+                    out_ref.dtype)
+            else:
+                # fused epilogue: correlate with the reference rows, then
+                # the channel-group mean (C = K*G, mean over K) as halving
+                # adds under the (k*G + g) channel order
+                hv = _chunk_sum(hv * refblk, G) * (G / C)
+                out_ref[0, g + j] = hv.reshape(RB, w, G).astype(
+                    out_ref.dtype)
 
 
 def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C, RB):
@@ -381,10 +389,16 @@ def _windowed_dispatch(call, sy_t, r, c, rw, rb):
         return call(r, 1)
     ladder = _window_ladder(rw, r, c)
     h = sy_t.shape[1]
-    # wider rungs halve the row block so M*RW*C (the scoped-VMEM unit of
-    # the kernel's f32 temporaries) stays at the rung-0 working point --
-    # sg bottoms out at 1, so _stack_group alone cannot shrink M
-    rbs = [_row_block(h, max(1, rb * ladder[0] // wdt)) for wdt in ladder]
+    # per-rung row block: (a) wider rungs shrink it so M*RW*C (the
+    # scoped-VMEM unit of the kernel's f32 temporaries) stays at the
+    # anchored rw=16 x rb working point (sg bottoms out at 1, so
+    # _stack_group alone cannot shrink M); (b) narrow rungs shrink it for
+    # COVERAGE -- all rb rows share one window base, whose alignment can
+    # eat align-1 (<= 3) rows, so a block's taps span rb+1+3 rows and a
+    # width-8 rung only ever covers with rb <= 2 (_stack_group stacks more
+    # bins instead, keeping M constant)
+    rbs = [_row_block(h, max(1, min(rb * 16 // wdt, wdt - 6)))
+           for wdt in ladder]
     rbs[-1] = 1  # exact full-row level: (M, R*C) temps are the widest
 
     def build(i):

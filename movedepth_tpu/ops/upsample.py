@@ -33,12 +33,28 @@ def convex_upsample(depth, mask, scale=2):
     head with channel layout (9, s, s) -- the NHWC transpose of the
     reference's ``view(B, 9, s, s, H, W)`` (movedepth/layers.py:206).
     Returns (B, H*s, W*s).
+
+    TPU note: everything runs on the FLAT (.., 9*s*s) lane layout -- a
+    (.., 9, s, s) reshape would put s (= 4) on the minor dims, and every
+    elementwise op on such an array pays up to 64x tile padding. The tap
+    softmax becomes 9 lane-slice max/exp/add ops and the convex
+    combination 9 fused multiply-adds against unmaterialized (B, H, W)
+    neighbor views; XLA fuses the whole thing into one pass.
     """
     s = 2 ** scale
+    ss = s * s
     b, h, w = depth.shape
-    m = mask.reshape(b, h, w, 9, s, s)
-    m = jnp.exp(m - jnp.max(m, axis=3, keepdims=True))
-    m = m / jnp.sum(m, axis=3, keepdims=True)  # softmax over the 9 taps
-    patches = _patches3x3(depth)  # (B, H, W, 9)
-    up = jnp.einsum("bhwk,bhwkij->bhiwj", patches, m)  # (B, H, s, W, s)
-    return up.reshape(b, h * s, w * s)
+    parts = [mask[..., k * ss:(k + 1) * ss] for k in range(9)]
+    mx = parts[0]
+    for p in parts[1:]:
+        mx = jnp.maximum(mx, p)
+    es = [jnp.exp(p - mx) for p in parts]
+    den = sum(es[1:], es[0])
+    xp = jnp.pad(depth, ((0, 0), (1, 1), (1, 1)))
+    up = None
+    for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                 for dx in range(3)):
+        tap = es[k] * xp[:, dy:dy + h, dx:dx + w, None]  # (B, H, W, ss)
+        up = tap if up is None else up + tap
+    up = (up / den).reshape(b, h, w, s, s)
+    return jnp.transpose(up, (0, 1, 3, 2, 4)).reshape(b, h * s, w * s)
