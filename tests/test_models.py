@@ -85,6 +85,33 @@ def test_depth_decoder_fold_stage0_parity():
                                    np.asarray(op[("disp", s)]), atol=5e-6)
 
 
+def test_depth_decoder_merge_heads_parity():
+    """Merged disp heads (dispconv_{1..3} folded into the next stage's
+    upconv as one conv) compute the same function from the same params.
+    """
+    rng = np.random.default_rng(7)
+    chans = encoder_channels(18)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (2, H // 2 ** (i + 1),
+                                      W // 2 ** (i + 1), c))
+                    .astype(np.float32))
+        for i, c in enumerate(chans)
+    ]
+    merged = DepthDecoder(num_ch_enc=chans, merge_heads=True,
+                          dtype=jnp.float32)
+    plain = DepthDecoder(num_ch_enc=chans, merge_heads=False,
+                         dtype=jnp.float32)
+    variables = merged.init(KEY, feats)
+    # identical parameter trees: the merge changes the schedule, not params
+    assert (jax.tree.map(lambda a: a.shape, variables)
+            == jax.tree.map(lambda a: a.shape, plain.init(KEY, feats)))
+    om = merged.apply(variables, feats)
+    op = plain.apply(variables, feats)
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(om[("disp", s)]),
+                                   np.asarray(op[("disp", s)]), atol=5e-6)
+
+
 def test_pose_decoder_shapes_and_scale():
     feats = [[jnp.ones((3, H // 32, W // 32, 512))]]
     model = PoseDecoder(num_ch_enc=encoder_channels(18), dtype=jnp.float32)

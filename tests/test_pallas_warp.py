@@ -143,6 +143,57 @@ def test_sweep_warp_window_fallback_is_exact(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_sweep_warp_rw8_rung_covers_and_is_exact(rng):
+    """The width-8 fast rung (shipped default, needs C >= 32 for lane
+    alignment) covers sub-pixel vertical motion and matches the exact
+    full-row kernel."""
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_ok,
+        _effective_window,
+        _prep_coords,
+    )
+    b, d, h, w, c = 1, 8, 48, 64, 32
+    assert _effective_window(8, h, c) == 8
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # sub-pixel vertical offsets varying per bin (the KITTI regime)
+    sx = jnp.asarray(np.broadcast_to(
+        xs.astype(np.float32), (b, d, h, w)) + 0.3)
+    dy = np.linspace(-0.25, -0.09, d, dtype=np.float32)[None, :, None, None]
+    sy = jnp.asarray(np.broadcast_to(
+        ys.astype(np.float32)[None, None], (b, d, h, w)) + dy)
+    # rung-0 (width 8) coverage at its rb <= 2 row block
+    sy_t = _prep_coords(sy, 8)
+    assert bool(_coverage_ok(sy_t, h, 8, c, 2))
+    want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    got = sweep_warp(src, sx, sy, row_window=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sweep_warp_rw8_mid_rung_fallback_is_exact(rng):
+    """Vertical motion beyond the width-8 window takes a wider ladder rung
+    (not the full row) and stays exact."""
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_ok,
+        _prep_coords,
+    )
+    b, d, h, w, c = 1, 8, 48, 64, 32
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sx = jnp.asarray(np.broadcast_to(xs.astype(np.float32), (b, d, h, w)))
+    # per-bin vertical offsets spanning ~7 rows: past the 8-wide rung
+    # (base alignment eats rows), inside the 16-wide one
+    dy = np.linspace(2.0, 8.5, d, dtype=np.float32)[None, :, None, None]
+    sy = jnp.asarray(np.clip(np.broadcast_to(
+        ys.astype(np.float32)[None, None], (b, d, h, w)) + dy, 0, h - 1))
+    sy_t = _prep_coords(sy, 8)
+    assert not bool(_coverage_ok(sy_t, h, 8, c, 2))
+    assert bool(_coverage_ok(sy_t, h, 16, c, 4))
+    want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    got = sweep_warp(src, sx, sy, row_window=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_sweep_warp_corr_matches_unfused(rng):
     """Fused warp+correlate+group-reduce == unfused composition."""
     from movedepth_tpu.ops.costvolume import reduce_cost_groups
