@@ -113,6 +113,13 @@ class Config:
     # whenever the inter-frame vertical motion is sub-pixel (the KITTI
     # regime); larger motion just takes the next rung.
     sweep_row_window: int = 8
+    # epipolar source-COLUMN window of the sweep kernel's narrowest rung:
+    # output x runs in chunks whose horizontal taps sit in a disparity
+    # band, so the H contraction needs only this many source columns
+    # (K drops W -> 128 = one MXU K-tile at the 160-wide prior scale); a
+    # host-side coverage check on sx disables it per call when the band
+    # overflows. 0 disables
+    sweep_col_window: int = 128
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS

@@ -27,6 +27,15 @@ same window computation checks coverage; if any block's window cannot
 cover its in-frame taps (large rotations), `lax.cond` falls back through a
 widening ladder to the exact full-row kernel (RW = R).
 
+EPIPOLAR COLUMN WINDOWING (the v4 speedup): the horizontal taps of an
+output x-chunk sit in a narrow disparity band around x (near-identity
+inter-frame motion, the KITTI regime), so on the narrowest row rung the
+H contraction of each XB-wide output chunk reads only a CW-column source
+window: K drops from W (2 padded MXU K-tiles at the 160-wide prior
+scale) to CW = 128 (one tile). The chunk base c0 is computed in-kernel
+like r0; a host-side sx coverage replica gates dispatch, falling back to
+the full-row-width contraction when the band overflows.
+
 MULTI-ROW BLOCKS (the v3 speedup): one grid step handles ``rb`` output
 rows x ``db`` depth bins. The per-step MXU work at one (row, bin) is only
 ~1 us, so a 1-row grid is issue-overhead-bound; stacking rb rows and sg
@@ -78,6 +87,64 @@ def _row_block(h: int, rb: int) -> int:
     while h % rb:
         rb -= 1
     return rb
+
+
+_COL_ALIGN = 16  # column bases align to the sublane tile (16 covers bf16+f32)
+
+
+def _effective_col_window(cw, w):
+    """Source-column window actually used for a requested ``cw``.
+
+    Rounded up to the MXU's 128 K-tile (a partial tile pads to 128 anyway);
+    at >= W the column windowing is a no-op and is disabled.
+    """
+    if cw is None:
+        return None
+    cw = ((max(cw, 2 * _COL_ALIGN) + 127) // 128) * 128
+    return None if cw >= w else cw
+
+
+def _x_chunk(w: int, cw: int) -> int:
+    """Output columns per chunk: the largest divisor of w <= 5/8 of the
+    window (leaves >= 3/8 of the window as disparity + alignment slack
+    while keeping the per-dot MXU stream long)."""
+    xb = max(1, cw * 5 // 8)
+    while w % xb:
+        xb -= 1
+    return xb
+
+
+def _col_base(x0_blk, W, CW):
+    """Column-window base from the floor'd horizontal coords of one
+    (row-block x bin-block x x-chunk). Must stay in lockstep with
+    `_coverage_x_ok` (the host-side replica)."""
+    valid = (x0_blk >= -1) & (x0_blk <= W - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(x0_blk, 0), W - 1))
+    hi = (W - CW) - (W - CW) % _COL_ALIGN
+    return jnp.clip(mn - mn % _COL_ALIGN, 0, hi)
+
+
+def _coverage_x_ok(sx_t, W, CW, XB, rb):
+    """True iff every (row-block, bin-block, x-chunk)'s column window
+    covers its in-frame horizontal taps.
+
+    Host-side (XLA) replica of the kernel's `_col_base`: the epipolar
+    x-displacement is a narrow disparity band around x in the KITTI
+    regime, so a CW-column source window per XB-column output chunk
+    covers all taps and the H contraction drops from K=W to K=CW.
+    sx_t: (B, H, nd, W, db)."""
+    b, h, nd, w, db = sx_t.shape
+    nxc = w // XB
+    a = sx_t.reshape(b, h // rb, rb, nd, nxc, XB, db)
+    a = jnp.transpose(a, (0, 1, 3, 4, 2, 5, 6)).reshape(
+        b, (h // rb) * nd * nxc, rb * XB * db)
+    x0 = jnp.floor(jnp.clip(a, -2.0, W + 1.0)).astype(jnp.int32)
+    valid = (x0 >= -1) & (x0 <= W - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(x0, 0), W - 1), axis=-1)
+    mx = jnp.max(jnp.where(valid, jnp.minimum(x0 + 1, W - 1), 0), axis=-1)
+    hi = (W - CW) - (W - CW) % _COL_ALIGN
+    c0 = jnp.clip(mn - mn % _COL_ALIGN, 0, hi)
+    return jnp.all(mx <= c0 + CW - 1)
 
 
 def _stack_group(db: int, rb: int, w: int, rwc: int) -> int:
@@ -149,22 +216,26 @@ def _chunk_sum(hv, c):
     return hv
 
 
-def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, RB):
-    _sweep_body(sx_ref, sy_ref, srcT_ref, None, out_ref, R, C, RW, RB, None)
+def _warp_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, RB,
+                 CW=None, XB=None):
+    _sweep_body(sx_ref, sy_ref, srcT_ref, None, out_ref, R, C, RW, RB, None,
+                CW, XB)
 
 
 def _warp_corr_kernel(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref,
-                      *, R, C, RW, RB, G):
+                      *, R, C, RW, RB, G, CW=None, XB=None):
     """Warp + fused cost-volume epilogue: correlation with the reference
     rows and the channel-group mean (reference: movedepth/layers.py:792
     ``warped * ref``; movedepth/trainer.py:359 group reduce). Writes
     (db, rb, W, G) instead of (db, rb, W, C) -- halves the kernel's HBM
     output and removes two full passes over the warp volume in XLA.
     Inference-only (no VJP)."""
-    _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G)
+    _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G,
+                CW, XB)
 
 
-def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
+def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G,
+                CW=None, XB=None):
     w, db = sx_ref.shape[-2], sx_ref.shape[-1]
     dt = srcT_ref.dtype
     # MXU default precision is bf16 multiplies; f32 inputs need the 3-pass
@@ -198,12 +269,18 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
         r0 = _window_base(y0_all, R, RW, C)
         src_w = srcT_ref[0, :, pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
 
-    if G is not None:
-        # (RB*W, C) f32 reference block, reused by every bin's epilogue
-        refblk = ref_ref[0].astype(jnp.float32).reshape(RB * w, C)
+    # EPIPOLAR COLUMN WINDOWING: when CW is set, output columns are
+    # processed in XB-wide chunks, each contracting only a CW-column
+    # source window (the horizontal taps sit in a narrow disparity band
+    # around x) -- K drops from W to CW in the H matmul. The chunk base
+    # c0 comes from the block's own coords like the row base r0; the
+    # host-side `_coverage_x_ok` replica gates dispatch onto this path.
+    nxc = 1 if CW is None else w // XB
+    xw = w if CW is None else XB  # output columns per chunk
+    kw = w if CW is None else CW  # source columns contracted per chunk
 
-    mb = RB * w  # sublane rows of one bin
-    qm = lax.broadcasted_iota(jnp.int32, (mb, w), 1)
+    mb = RB * xw  # sublane rows of one bin
+    qm = lax.broadcasted_iota(jnp.int32, (mb, kw), 1)
     lane_rm = lax.broadcasted_iota(jnp.int32, (mb, RW * C), 1) // C
 
     def h_of(sxc):
@@ -236,36 +313,61 @@ def _sweep_body(sx_ref, sy_ref, srcT_ref, ref_ref, out_ref, R, C, RW, RB, G):
     # matmul result. sg is bounded to keep the f32 temporaries inside
     # scoped VMEM (Mosaic does not reuse stack slots across the unrolled
     # constructions, so every (M, RW*C) temporary counts).
-    sg0 = _stack_group(db, RB, w, RW * C)
-    for g in range(0, db, sg0):
-        sg = min(sg0, db - g)  # ragged tail when sg0 does not divide db
-        sycs, h_parts = [], []
-        for d in range(g, g + sg):
-            sxc = jnp.concatenate(
-                [sx_all[k, :, d:d + 1] for k in range(RB)], axis=0)
-            sycs.append(jnp.concatenate(
-                [sy_all[k, :, d:d + 1] for k in range(RB)],
-                axis=0) - r0)  # window-relative
-            h_parts.append(h_of(sxc))
-        h_all = (h_parts[0] if sg == 1
-                 else jnp.concatenate(h_parts, axis=0))
-        hi = jnp.dot(h_all, src_w, precision=prec,
-                     preferred_element_type=jnp.float32)  # (sg*mb, RW*C)
-        for j in range(sg):
-            # sum over the window rows: halving lane adds (VPU, mostly
-            # 128-aligned) instead of a (RW*C, C) one-hot matmul whose
-            # N=C pads 4x on the MXU; an odd remainder is added linearly
-            hv = _chunk_sum(hi[j * mb:(j + 1) * mb] * v_of(sycs[j]), C)
-            if G is None:
-                out_ref[0, g + j] = hv.reshape(RB, w, C).astype(
-                    out_ref.dtype)
+    sg0 = _stack_group(db, RB, xw, RW * C)
+    for xc in range(nxc):
+        if CW is None:
+            xsl = slice(None)
+            src_x = src_w
+            c0f = None
+        else:
+            xsl = slice(xc * XB, (xc + 1) * XB)
+            x0_blk = jnp.floor(sx_all[:, xsl, :]).astype(jnp.int32)
+            c0 = _col_base(x0_blk, w, CW)
+            c0s = pl.multiple_of(c0, _COL_ALIGN)
+            if RW == R:
+                src_x = srcT_ref[0, pl.ds(c0s, CW), :]
             else:
-                # fused epilogue: correlate with the reference rows, then
-                # the channel-group mean (C = K*G, mean over K) as halving
-                # adds under the (k*G + g) channel order
-                hv = _chunk_sum(hv * refblk, G) * (G / C)
-                out_ref[0, g + j] = hv.reshape(RB, w, G).astype(
-                    out_ref.dtype)
+                src_x = srcT_ref[0, pl.ds(c0s, CW),
+                                 pl.ds(pl.multiple_of(r0 * C, 128), RW * C)]
+            # integer f32 subtraction of c0 <= W is exact, so the
+            # window-relative taps match the unchunked kernel bitwise
+            c0f = c0.astype(jnp.float32)
+        if G is not None:
+            # (RB*XW, C) f32 reference chunk, reused by every bin's epilogue
+            refblk = ref_ref[0][:, xsl, :].astype(jnp.float32).reshape(mb, C)
+        for g in range(0, db, sg0):
+            sg = min(sg0, db - g)  # ragged tail when sg0 !| db
+            sycs, h_parts = [], []
+            for d in range(g, g + sg):
+                sxc = jnp.concatenate(
+                    [sx_all[k, xsl, d:d + 1] for k in range(RB)], axis=0)
+                if c0f is not None:
+                    sxc = sxc - c0f  # window-relative columns
+                sycs.append(jnp.concatenate(
+                    [sy_all[k, xsl, d:d + 1] for k in range(RB)],
+                    axis=0) - r0)  # window-relative rows
+                h_parts.append(h_of(sxc))
+            h_all = (h_parts[0] if sg == 1
+                     else jnp.concatenate(h_parts, axis=0))
+            hi = jnp.dot(h_all, src_x, precision=prec,
+                         preferred_element_type=jnp.float32)  # (sg*mb, RW*C)
+            for j in range(sg):
+                # sum over the window rows: halving lane adds (VPU, mostly
+                # 128-aligned) instead of a (RW*C, C) one-hot matmul whose
+                # N=C pads 4x on the MXU; an odd remainder is added linearly
+                hv = _chunk_sum(hi[j * mb:(j + 1) * mb] * v_of(sycs[j]), C)
+                if G is None:
+                    out = hv.reshape(RB, xw, C).astype(out_ref.dtype)
+                else:
+                    # fused epilogue: correlate with the reference rows,
+                    # then the channel-group mean (C = K*G, mean over K) as
+                    # halving adds under the (k*G + g) channel order
+                    hv = _chunk_sum(hv * refblk, G) * (G / C)
+                    out = hv.reshape(RB, xw, G).astype(out_ref.dtype)
+                if CW is None:
+                    out_ref[0, g + j] = out
+                else:
+                    out_ref[0, g + j, :, xsl] = out
 
 
 def _warp_bwd_kernel(sx_ref, sy_ref, g_ref, dsrcT_ref, *, R, C, RB):
@@ -338,7 +440,7 @@ def _coord_specs(w, db, rb):
     ]
 
 
-def _warp_rows_call(src_feat, sx_t, sy_t, rw, rb, interpret):
+def _warp_rows_call(src_feat, sx_t, sy_t, rw, rb, cw, interpret):
     """One forward pallas_call at window width rw (rw == R: exact full).
 
     Output written directly in (B, D, H, W, C) order.
@@ -349,7 +451,8 @@ def _warp_rows_call(src_feat, sx_t, sy_t, rw, rb, interpret):
     # (q, r*C + c) layout: a row window is one contiguous 128-aligned
     # lane slice (see module docstring)
     srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
-    kernel = functools.partial(_warp_kernel, R=r, C=c, RW=rw, RB=rb)
+    kernel = functools.partial(_warp_kernel, R=r, C=c, RW=rw, RB=rb, CW=cw,
+                               XB=None if cw is None else _x_chunk(w, cw))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), src_feat.dtype),
@@ -374,19 +477,22 @@ def _window_ladder(rw, r, c):
     return ladder + [r]
 
 
-def _windowed_dispatch(call, sy_t, r, c, rw, rb):
-    """Run ``call(window_width, row_block)`` at the narrowest covering
-    window.
+def _windowed_dispatch(call, sx_t, sy_t, r, c, rw, rb, cw=None):
+    """Run ``call(window_width, row_block, col_window)`` at the narrowest
+    covering window.
 
     Widening-ladder fallback: rw -> 2*rw -> ... -> exact full row. Each
     step is a host-side coverage check (cheap VPU reductions) +
     lax.cond, so only one kernel executes; near-misses degrade gracefully
     instead of paying the full-row contraction. The exact full-row level
     runs at row_block=1: its (M, R*C) f32 temporaries are already at the
-    scoped-VMEM edge without the multi-row block inflation.
+    scoped-VMEM edge without the multi-row block inflation. The column
+    window (its own coverage check on sx) applies only at the narrowest
+    row rung -- the production path; every fallback rung contracts full
+    rows.
     """
     if rw is None or rw >= r:
-        return call(r, 1)
+        return call(r, 1, None)
     ladder = _window_ladder(rw, r, c)
     h = sy_t.shape[1]
     # per-rung row block: (a) wider rungs shrink it so M*RW*C (the
@@ -400,18 +506,30 @@ def _windowed_dispatch(call, sy_t, r, c, rw, rb):
     rbs = [_row_block(h, max(1, min(rb * 16 // wdt, wdt - 6)))
            for wdt in ladder]
     rbs[-1] = 1  # exact full-row level: (M, R*C) temps are the widest
+    w = sx_t.shape[3]
+    cw_eff = _effective_col_window(cw, w)
 
     def build(i):
         if i == len(ladder) - 1:
-            return lambda: call(ladder[i], rbs[i])
+            return lambda: call(ladder[i], rbs[i], None)
         ok = _coverage_ok(sy_t, r, ladder[i], c, rbs[i])
-        return lambda: lax.cond(ok, lambda: call(ladder[i], rbs[i]),
-                                build(i + 1))
+        nxt = build(i + 1)
+        if i == 0 and cw_eff is not None:
+            cok = _coverage_x_ok(sx_t, w, cw_eff, _x_chunk(w, cw_eff),
+                                 rbs[i])
+            return lambda: lax.cond(
+                ok,
+                lambda: lax.cond(
+                    cok, lambda: call(ladder[i], rbs[i], cw_eff),
+                    lambda: call(ladder[i], rbs[i], None)),
+                nxt)
+        return lambda: lax.cond(ok, lambda: call(ladder[i], rbs[i], None),
+                                nxt)
 
     return build(0)()
 
 
-def _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret=False):
+def _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, cw, interpret=False):
     """Forward launch: windowed kernel with graceful full-row fallback.
 
     Returns (B, D, H, W, C).
@@ -419,12 +537,13 @@ def _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret=False):
     r = src_feat.shape[1]
     c = src_feat.shape[3]
     return _windowed_dispatch(
-        lambda width, rbw: _warp_rows_call(src_feat, sx_t, sy_t, width,
-                                           rbw, interpret),
-        sy_t, r, c, rw, rb)
+        lambda width, rbw, colw: _warp_rows_call(src_feat, sx_t, sy_t,
+                                                 width, rbw, colw,
+                                                 interpret),
+        sx_t, sy_t, r, c, rw, rb, cw)
 
 
-def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, rb, groups,
+def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, rb, cw, groups,
                          interpret):
     """Fused warp+correlate+group-reduce pallas_call at window width rw."""
     b, r, w, c = src_feat.shape
@@ -432,7 +551,8 @@ def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, rb, groups,
     d = nd * db
     srcT = jnp.transpose(src_feat, (0, 2, 1, 3)).reshape(b, w, r * c)
     kernel = functools.partial(_warp_corr_kernel, R=r, C=c, RW=rw, RB=rb,
-                               G=groups)
+                               G=groups, CW=cw,
+                               XB=None if cw is None else _x_chunk(w, cw))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, groups),
@@ -453,10 +573,11 @@ def _warp_corr_rows_call(src_feat, ref_feat, sx_t, sy_t, rw, rb, groups,
 
 @functools.partial(jax.jit, static_argnames=("groups", "d_block",
                                              "row_window", "row_block",
-                                             "interpret"))
+                                             "col_window", "interpret"))
 def sweep_warp_corr(src_feat, ref_feat, sx, sy, groups: int,
                     d_block: int = 8, row_window: int = 16,
-                    row_block: int = 4, interpret: bool = False):
+                    row_block: int = 4, col_window: int = 128,
+                    interpret: bool = False):
     """Plane-sweep cost volume in ONE kernel: warp, correlate, group-mean.
 
     src_feat/ref_feat: (B, R, W, C) NHWC features; sx, sy: (B, D, H, W)
@@ -479,10 +600,10 @@ def sweep_warp_corr(src_feat, ref_feat, sx, sy, groups: int,
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
     return _windowed_dispatch(
-        lambda width, rbw: _warp_corr_rows_call(src_feat, ref_feat, sx_t,
-                                                sy_t, width, rbw, groups,
-                                                interpret),
-        sy_t, r, c, rw, rb)
+        lambda width, rbw, colw: _warp_corr_rows_call(
+            src_feat, ref_feat, sx_t, sy_t, width, rbw, colw, groups,
+            interpret),
+        sx_t, sy_t, r, c, rw, rb, col_window)
 
 
 def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, rb, interpret=False):
@@ -506,17 +627,17 @@ def _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, rb, interpret=False):
     return jnp.transpose(dsrc, (0, 2, 1, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, interpret=False):
-    return _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, cw, interpret=False):
+    return _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, cw, interpret)
 
 
-def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, rw, rb, interpret=False):
-    out = _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, interpret)
+def _warp_rows_fwd(src_feat, sx_t, sy_t, r, c, rw, rb, cw, interpret=False):
+    out = _warp_rows_impl(src_feat, sx_t, sy_t, rw, rb, cw, interpret)
     return out, (sx_t, sy_t, jnp.zeros((), src_feat.dtype))
 
 
-def _warp_rows_bwd(r, c, rw, rb, interpret, res, g):
+def _warp_rows_bwd(r, c, rw, rb, cw, interpret, res, g):
     sx_t, sy_t, dtype_carrier = res
     dsrc = _warp_rows_bwd_impl(g, sx_t, sy_t, r, c, rb, interpret)
     return (dsrc.astype(dtype_carrier.dtype), jnp.zeros_like(sx_t),
@@ -528,9 +649,10 @@ _warp_rows.defvjp(_warp_rows_fwd, _warp_rows_bwd)
 
 @functools.partial(jax.jit,
                    static_argnames=("d_block", "row_window", "row_block",
-                                    "interpret"))
+                                    "col_window", "interpret"))
 def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
-               row_block: int = 4, interpret: bool = False):
+               row_block: int = 4, col_window: int = 128,
+               interpret: bool = False):
     """Warp src features over all depth hypotheses (zeros padding, bilinear).
 
     src_feat: (B, R, W, C) NHWC source features;
@@ -543,7 +665,9 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
     a widening ladder to the exact full-row kernel when any window can't
     cover its taps, so the result is exact for arbitrary coordinates. Pass
     None to always use the full kernel. ``row_block`` output rows share
-    one grid step (and one window).
+    one grid step (and one window). ``col_window`` additionally bounds the
+    source-column window per output x-chunk on the narrowest row rung
+    (its own coverage check; None disables).
 
     Differentiable wrt src_feat (custom VJP: transposed one-hot matmuls in
     a second Pallas kernel); coordinates carry no gradient (the reference
@@ -559,7 +683,8 @@ def sweep_warp(src_feat, sx, sy, d_block: int = 8, row_window: int = 16,
 
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
-    return _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, interpret)
+    return _warp_rows(src_feat, sx_t, sy_t, r, c, rw, rb, col_window,
+                      interpret)
 
 
 def grid_to_pixel(grid, height, width):

@@ -169,6 +169,7 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
             sweep_warp_corr,
         )
     rw = cfg.sweep_row_window or None
+    cw = cfg.sweep_col_window or None
     k_per_g = ref_match_feat.shape[-1] // cfg.reg3d_c
     can_fuse = not train and k_per_g & (k_per_g - 1) == 0
     costs = []
@@ -181,10 +182,10 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
                 # inference: warp+correlate+group-reduce in ONE kernel
                 costs.append(sweep_warp_corr(
                     src_match_feats[f_idx], ref_match_feat, sx, sy,
-                    cfg.reg3d_c, row_window=rw))
+                    cfg.reg3d_c, row_window=rw, col_window=cw))
                 continue
             warped = sweep_warp(src_match_feats[f_idx], sx, sy,
-                                row_window=rw)
+                                row_window=rw, col_window=cw)
             cv = warped * ref_match_feat[:, None]
         else:
             cv = plane_sweep_costvol(
@@ -236,6 +237,7 @@ def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
                 sweep_warp,
             )
         rw = cfg.sweep_row_window or None
+        cw = cfg.sweep_col_window or None
         costs_a = []
         costs_b = []
         for f_idx in range(len(cfg.matching_ids) - 1):
@@ -244,7 +246,7 @@ def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
                 grid = sweep_grid(depth_bins, K_p, invK_p, rel[:, f_idx])
                 sx, sy = grid_to_pixel(grid, h, w)
                 warped = sweep_warp(src_match_feats[f_idx], sx, sy,
-                                    row_window=rw)
+                                    row_window=rw, col_window=cw)
             else:
                 from movedepth_tpu.ops.costvolume import plane_sweep_warp
                 warped = plane_sweep_warp(src_match_feats[f_idx], K_p,

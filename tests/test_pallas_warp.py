@@ -194,6 +194,78 @@ def test_sweep_warp_rw8_mid_rung_fallback_is_exact(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_sweep_warp_col_window_covers_and_is_exact(rng):
+    """The column-windowed H contraction (disparity-band taps) covers
+    small per-bin horizontal shifts and matches the exact kernel."""
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_x_ok,
+        _effective_col_window,
+        _prep_coords,
+        _x_chunk,
+    )
+    b, d, h, w, c = 1, 8, 48, 192, 32
+    assert _effective_col_window(128, w) == 128
+    assert _x_chunk(w, 128) == 64
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # per-bin disparity shifts up to ~20 px (plane-sweep band)
+    dx = np.linspace(-3.0, 20.0, d, dtype=np.float32)[None, :, None, None]
+    sx = jnp.asarray(np.broadcast_to(
+        xs.astype(np.float32)[None, None], (b, d, h, w)) + dx)
+    sy = jnp.asarray(np.broadcast_to(
+        ys.astype(np.float32)[None, None], (b, d, h, w)) - 0.2)
+    # rung-0 (rw=8 at C=32 -> rb=2) column coverage
+    assert bool(_coverage_x_ok(_prep_coords(sx, 8), w, 128, 64, 2))
+    want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    got = sweep_warp(src, sx, sy, row_window=8, col_window=128,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sweep_warp_col_window_overflow_falls_back(rng):
+    """Horizontal shifts past the column budget disable the column window
+    (row rung still runs) and the result stays exact."""
+    from movedepth_tpu.ops.pallas.sweep_warp import (
+        _coverage_x_ok,
+        _prep_coords,
+    )
+    b, d, h, w, c = 1, 8, 48, 192, 32
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # ~100 px spread across bins: > 128-64-align budget
+    dx = np.linspace(-50.0, 55.0, d, dtype=np.float32)[None, :, None, None]
+    sx = jnp.asarray(np.clip(np.broadcast_to(
+        xs.astype(np.float32)[None, None], (b, d, h, w)) + dx, 0, w - 1))
+    sy = jnp.asarray(np.broadcast_to(
+        ys.astype(np.float32)[None, None], (b, d, h, w)) - 0.2)
+    assert not bool(_coverage_x_ok(_prep_coords(sx, 8), w, 128, 64, 2))
+    want = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    got = sweep_warp(src, sx, sy, row_window=8, col_window=128,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sweep_warp_corr_col_window_matches_unfused(rng):
+    """Fused correlate epilogue under the column window == unfused."""
+    from movedepth_tpu.ops.costvolume import reduce_cost_groups
+    from movedepth_tpu.ops.pallas.sweep_warp import sweep_warp_corr
+
+    b, d, h, w, c = 1, 8, 48, 192, 32
+    src = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dx = np.linspace(-3.0, 20.0, d, dtype=np.float32)[None, :, None, None]
+    sx = jnp.asarray(np.broadcast_to(
+        xs.astype(np.float32)[None, None], (b, d, h, w)) + dx)
+    sy = jnp.asarray(np.broadcast_to(
+        ys.astype(np.float32)[None, None], (b, d, h, w)) - 0.2)
+    warped = sweep_warp(src, sx, sy, row_window=None, interpret=True)
+    want = reduce_cost_groups(warped * ref[:, None], 8)
+    got = sweep_warp_corr(src, ref, sx, sy, 8, row_window=8,
+                          col_window=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_sweep_warp_corr_matches_unfused(rng):
     """Fused warp+correlate+group-reduce == unfused composition."""
     from movedepth_tpu.ops.costvolume import reduce_cost_groups
