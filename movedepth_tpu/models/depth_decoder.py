@@ -16,8 +16,12 @@ import flax.linen as nn
 from movedepth_tpu.models.layers import (
     Conv3x3,
     ConvBlock,
+    conv_folded_edge,
     depth_to_space22,
+    fold_phase2_kernel,
+    fold_up2_kernel,
     merged_conv3x3_reflect,
+    space_to_depth22,
     torch_batchnorm,
 )
 from movedepth_tpu.ops.sampling import upsample_nearest_2x
@@ -49,6 +53,12 @@ class DepthDecoder(nn.Module):
     # run each disp head merged into the next stage's first conv (both
     # read the same features; one MXU issue instead of two N-padded ones)
     merge_heads: bool = True
+    # subpixel-fold stage 1 as well: upconv_1_1 (half-res, 32ch) runs as
+    # one coarse conv over [x, space_to_depth(skip)] via
+    # fold_up2/fold_phase2 kernels, and the stage-0 merged conv consumes
+    # the phase representation directly. Requires fold_stage0+merge_heads
+    # (the shipped config); same function, same params.
+    fold_stage1: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -56,7 +66,12 @@ class DepthDecoder(nn.Module):
         outputs = {}
         fold0 = (self.fold_stage0 and not self.ddv and not self.mono_conf
                  and not self.match_conv and 0 in self.scales)
+        skip0 = input_features[0]
+        fold1 = (fold0 and self.fold_stage1 and self.merge_heads
+                 and self.use_skips and 1 in self.scales
+                 and skip0.shape[1] % 2 == 0 and skip0.shape[2] % 2 == 0)
         x = input_features[-1]
+        x_phase = False  # x held as 2x2 subpixel phases (half fine res)
         pending = None  # disp head deferred into the next stage's conv
         for i in range(4, -1, -1):
             num_ch_out = NUM_CH_DEC[i]
@@ -64,19 +79,59 @@ class DepthDecoder(nn.Module):
                 # dispconv_{i+1} reads the same x as upconv_i_0: run both
                 # as ONE conv -- each alone pads its output channels to the
                 # MXU's 128 lanes, so the merged disp head is free
+                nco = num_ch_out + self.num_output_channels
+                # params-mode reads only the channel count: the phase rep
+                # carries 4x channels, but the conv params are fine-grid
+                px = jnp.zeros((1, 1, 1, x.shape[-1] // 4),
+                               x.dtype) if x_phase else x
                 ku, bu = ConvBlock(num_ch_out, dtype=self.dtype,
-                                   name=f"upconv_{i}_0")(x, fold="params")
+                                   name=f"upconv_{i}_0")(px, fold="params")
                 kd, bd = Conv3x3(self.num_output_channels, dtype=self.dtype,
-                                 name=f"dispconv_{pending}")(x,
+                                 name=f"dispconv_{pending}")(px,
                                                              fold="params")
-                u, d = merged_conv3x3_reflect(x, [ku, kd], [bu, bd],
-                                              self.dtype)
-                outputs[("disp", pending)] = nn.sigmoid(d)
-                x = nn.elu(u)
+                if x_phase:
+                    # consume the stage-1 phase representation directly:
+                    # the merged conv runs folded at quarter resolution
+                    km = fold_phase2_kernel(jnp.concatenate([ku, kd], -1))
+                    bm = jnp.tile(jnp.concatenate([bu, bd]), 4)
+                    y = conv_folded_edge(x, km, bm, self.dtype)
+                    parts = [y[..., p * nco:(p + 1) * nco] for p in range(4)]
+                    d = jnp.concatenate(
+                        [p_[..., num_ch_out:] for p_ in parts], -1)
+                    outputs[("disp", pending)] = nn.sigmoid(
+                        depth_to_space22(d))
+                    u = jnp.concatenate(
+                        [p_[..., :num_ch_out] for p_ in parts], -1)
+                    x = depth_to_space22(nn.elu(u))
+                    x_phase = False
+                else:
+                    u, d = merged_conv3x3_reflect(x, [ku, kd], [bu, bd],
+                                                  self.dtype)
+                    outputs[("disp", pending)] = nn.sigmoid(d)
+                    x = nn.elu(u)
                 pending = None
             else:
                 x = ConvBlock(num_ch_out, dtype=self.dtype,
                               name=f"upconv_{i}_0")(x)
+            if i == 1 and fold1:
+                # upsample + skip-concat + upconv_1_1 as ONE coarse conv:
+                # the up2(x) part folds via fold_up2_kernel, the skip part
+                # reads space_to_depth(skip) via fold_phase2_kernel; the
+                # output stays in phase form for the stage-0 merged conv
+                cin_x, cin_s = x.shape[-1], skip0.shape[-1]
+                dummy = jnp.zeros((1, 1, 1, cin_x + cin_s), x.dtype)
+                ku, bu = ConvBlock(num_ch_out, dtype=self.dtype,
+                                   name=f"upconv_{i}_1")(dummy,
+                                                         fold="params")
+                kf = jnp.concatenate(
+                    [fold_up2_kernel(ku[:, :, :cin_x]),
+                     fold_phase2_kernel(ku[:, :, cin_x:])], axis=2)
+                xin = jnp.concatenate([x, space_to_depth22(skip0)], -1)
+                x = nn.elu(conv_folded_edge(xin, kf, jnp.tile(bu, 4),
+                                            self.dtype))
+                x_phase = True
+                pending = i  # 1 in scales is part of the fold1 gate
+                continue
             if i == 0 and fold0:
                 x = ConvBlock(num_ch_out, dtype=self.dtype,
                               name="upconv_0_1")(x, fold="up2")

@@ -40,6 +40,12 @@ class FPN4(nn.Module):
     base_channels: int = 8
     scale: int = 2
     dcn: bool = False
+    # eval-only subpixel folding of the two finest trunks: their 8/16
+    # channel convs are MXU N-padding-bound (pad to the 128 lanes), so
+    # conv0_*/conv1_* run on the 2x2 phase representation (4x channels at
+    # 1/4 the positions -- same math, see layers.fold_phase2_kernel) and
+    # the stride-2 conv1_0/conv2_0 land back on the native layout
+    fold_eval: bool = True
     dtype: Any = None
     axis_name: Optional[str] = None
 
@@ -50,12 +56,34 @@ class FPN4(nn.Module):
             f, (k, k), (s, s), ((k // 2, k // 2), (k // 2, k // 2)),
             dtype=self.dtype, axis_name=self.axis_name, name=n,
         )
-        c = blk(bc, 3, 1, "conv0_0")(x, train)
-        conv0 = blk(bc, 3, 1, "conv0_1")(c, train)
-        c = blk(bc * 2, 5, 2, "conv1_0")(conv0, train)
-        c = blk(bc * 2, 3, 1, "conv1_1")(c, train)
-        conv1 = blk(bc * 2, 3, 1, "conv1_2")(c, train)
-        c = blk(bc * 4, 5, 2, "conv2_0")(conv1, train)
+        fold = (self.fold_eval and not train and not self.dcn
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+        if fold:
+            from movedepth_tpu.models.layers import (
+                depth_to_space22,
+                space_to_depth22,
+            )
+            xp = space_to_depth22(x)
+            c = blk(bc, 3, 1, "conv0_0")(xp, train, fold="phase")
+            conv0p = blk(bc, 3, 1, "conv0_1")(c, train, fold="phase")
+            conv0 = None  # d2s(conv0p) materialized only if consumed
+            c = blk(bc * 2, 5, 2, "conv1_0")(conv0p, train, fold="s2")
+            cp = space_to_depth22(c)
+            cp = blk(bc * 2, 3, 1, "conv1_1")(cp, train, fold="phase")
+            conv1p = blk(bc * 2, 3, 1, "conv1_2")(cp, train, fold="phase")
+            conv1 = None
+            c = blk(bc * 4, 5, 2, "conv2_0")(conv1p, train, fold="s2")
+            if self.scale < 2:
+                conv1 = depth_to_space22(conv1p)
+            if self.scale < 1:
+                conv0 = depth_to_space22(conv0p)
+        else:
+            c = blk(bc, 3, 1, "conv0_0")(x, train)
+            conv0 = blk(bc, 3, 1, "conv0_1")(c, train)
+            c = blk(bc * 2, 5, 2, "conv1_0")(conv0, train)
+            c = blk(bc * 2, 3, 1, "conv1_1")(c, train)
+            conv1 = blk(bc * 2, 3, 1, "conv1_2")(c, train)
+            c = blk(bc * 4, 5, 2, "conv2_0")(conv1, train)
         c = blk(bc * 4, 3, 1, "conv2_1")(c, train)
         conv2 = blk(bc * 4, 3, 1, "conv2_2")(c, train)
         c = blk(bc * 8, 5, 2, "conv3_0")(conv2, train)

@@ -52,9 +52,9 @@ class TorchBatchNorm(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(self, x, use_running_average: bool, phases: int = 1):
         f32 = jnp.float32
-        feat = x.shape[-1]
+        feat = x.shape[-1] // phases
         scale = self.param("scale", nn.initializers.ones, (feat,), f32)
         bias = self.param("bias", nn.initializers.zeros, (feat,), f32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -67,11 +67,19 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
             if jnp.dtype(out_dt) == f32:
                 mul = lax.rsqrt(var + self.epsilon) * scale
+                if phases > 1:
+                    # subpixel phase representation (phase*C + c channel
+                    # order): per-channel stats tile across phases
+                    mean, mul, bias = (jnp.tile(t, phases)
+                                       for t in (mean, mul, bias))
                 return ((x.astype(f32) - mean) * mul + bias).astype(out_dt)
             a = scale * lax.rsqrt(var + self.epsilon)
             b = bias - mean * a
+            if phases > 1:
+                a, b = jnp.tile(a, phases), jnp.tile(b, phases)
             return (x.astype(out_dt) * a.astype(out_dt)
                     + b.astype(out_dt))
+        assert phases == 1, "phase-folded conv schedules are eval-only"
 
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(f32)
@@ -140,52 +148,18 @@ class _Conv2dParams(nn.Module):
         for the same math (the decoder's narrow-channel convs are MXU
         N-padding-bound, VERDICT round 1).
         """
-        w = self.kernel
-        zero = jnp.zeros_like(w[0])
-        # phase row transforms: fine row 2i+a reads coarse rows via
-        # a=0: dy'=0 <- W0, dy'=1 <- W1+W2 ; a=1: dy'=1 <- W0+W1, dy'=2 <- W2
-        rows = [
-            jnp.stack([w[0], w[1] + w[2], zero]),
-            jnp.stack([zero, w[0] + w[1], w[2]]),
-        ]
-        ks = []
-        for a in range(2):
-            wa = rows[a]  # (3, 3, Cin, Cout), u already folded
-            zero_c = jnp.zeros_like(wa[:, 0])
-            cols = [
-                jnp.stack([wa[:, 0], wa[:, 1] + wa[:, 2], zero_c], axis=1),
-                jnp.stack([zero_c, wa[:, 0] + wa[:, 1], wa[:, 2]], axis=1),
-            ]
-            ks.extend(cols)
-        # channel order (a*2 + b)*Cout + co, matching depth_to_space22
-        k3 = jnp.concatenate(ks, axis=-1)  # (3, 3, Cin, 4*Cout)
+        k3 = fold_up2_kernel(self.kernel)
         b3 = jnp.tile(self.bias, 4)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         return self._run(x, k3, b3)
 
     def fold_phase2(self, x):
         """conv3x3(reflect_pad(z_fine)) where z_fine = depth_to_space(x):
-        run directly on the coarse phase representation. Each fine tap
-        (u, v) of output phase (a, b) maps to one (coarse offset, input
-        phase) pair; fine reflection padding again maps exactly to coarse
-        EDGE padding. Input channels (pa*2+pb)*Cin + ci, output channels
-        (a*2+b)*Cout + co (both the depth_to_space22 order).
+        run directly on the coarse phase representation. Fine reflection
+        padding maps exactly to coarse EDGE padding (a 3x3 conv reads at
+        most one fine pixel past the border).
         """
-        w = self.kernel  # (3, 3, Cin_fine, Cout)
-        cin, cout = w.shape[2], w.shape[3]
-        # Sa[a][dy'][pa] = u of the fine tap, or None
-        taps = {
-            (0, 0, 1): 0, (0, 1, 0): 1, (0, 1, 1): 2,
-            (1, 1, 0): 0, (1, 1, 1): 1, (1, 2, 0): 2,
-        }
-        k3 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
-        for (a, dy, pa), u in taps.items():
-            for (b, dx, pb), v in taps.items():
-                k3 = k3.at[
-                    dy, dx,
-                    (pa * 2 + pb) * cin:(pa * 2 + pb + 1) * cin,
-                    (a * 2 + b) * cout:(a * 2 + b + 1) * cout,
-                ].add(w[u, v])
+        k3 = fold_phase2_kernel(self.kernel)
         b3 = jnp.tile(self.bias, 4)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         return self._run(x, k3, b3)
@@ -223,6 +197,112 @@ def depth_to_space22(x):
     x = x.reshape(b, h, w, 2, 2, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def space_to_depth22(x):
+    """(B, 2H, 2W, C) -> (B, H, W, 4*C), channel order (a*2+b)*C + c.
+
+    Exact inverse of :func:`depth_to_space22`.
+    """
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+# fine tap index u of a 3x3 stride-1 conv, keyed by (output phase a,
+# coarse kernel offset dy+? index, input phase pa): fine row 2i+a reads
+# fine rows 2i+a+u-1 = coarse (i + dy, phase pa)
+_PHASE_TAPS = {
+    (0, 0, 1): 0, (0, 1, 0): 1, (0, 1, 1): 2,
+    (1, 1, 0): 0, (1, 1, 1): 1, (1, 2, 0): 2,
+}
+
+
+def fold_phase2_kernel(w):
+    """(3,3,Cin,Cout) fine stride-1 conv -> (3,3,4Cin,4Cout) coarse conv
+    on the 2x2 subpixel phase representation.
+
+    Both input channels (pa*2+pb)*Cin + ci and output channels
+    (a*2+b)*Cout + co follow the depth_to_space22 order. Fine padding of
+    one pixel maps to coarse padding of one position (zeros for
+    zero-padding; EDGE for fine reflect -- a 3x3 reads at most one fine
+    pixel past the border, and both conventions agree there).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k3 = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for (a, dy, pa), u in _PHASE_TAPS.items():
+        for (b, dx, pb), v in _PHASE_TAPS.items():
+            k3 = k3.at[
+                dy, dx,
+                (pa * 2 + pb) * cin:(pa * 2 + pb + 1) * cin,
+                (a * 2 + b) * cout:(a * 2 + b + 1) * cout,
+            ].add(w[u, v])
+    return k3
+
+
+def fold_up2_kernel(w):
+    """(3,3,Cin,Cout) fine stride-1 conv over nearest_up_2x input ->
+    (3,3,Cin,4Cout) coarse conv whose output is the 2x2 phase
+    representation ((a*2+b)*Cout + co order).
+
+    The nearest upsample duplicates pixels, so each fine output phase
+    reads at most 2x2 coarse taps; fine reflect padding maps to coarse
+    EDGE padding (a 3x3 reads at most one fine pixel past the border).
+    """
+    zero = jnp.zeros_like(w[0])
+    # phase row transforms: fine row 2i+a reads coarse rows via
+    # a=0: dy'=0 <- W0, dy'=1 <- W1+W2 ; a=1: dy'=1 <- W0+W1, dy'=2 <- W2
+    rows = [
+        jnp.stack([w[0], w[1] + w[2], zero]),
+        jnp.stack([zero, w[0] + w[1], w[2]]),
+    ]
+    ks = []
+    for a in range(2):
+        wa = rows[a]  # (3, 3, Cin, Cout), u already folded
+        zero_c = jnp.zeros_like(wa[:, 0])
+        cols = [
+            jnp.stack([wa[:, 0], wa[:, 1] + wa[:, 2], zero_c], axis=1),
+            jnp.stack([zero_c, wa[:, 0] + wa[:, 1], wa[:, 2]], axis=1),
+        ]
+        ks.extend(cols)
+    return jnp.concatenate(ks, axis=-1)  # (3, 3, Cin, 4*Cout)
+
+
+def conv_folded_edge(x, kernel, bias, dtype=None):
+    """EDGE-pad-1 then 3x3 stride-1 convolve with an explicit (derived)
+    kernel -- the shared launcher for the subpixel-folded decoder
+    schedules (fold_up2_kernel / fold_phase2_kernel products)."""
+    dtype = dtype or jnp.promote_types(x.dtype, kernel.dtype)
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=dn) + bias.astype(dtype)
+
+
+def fold_conv5x5s2_kernel(w):
+    """(5,5,Cin,Cout) fine stride-2 pad-2 conv -> (3,3,4Cin,Cout) coarse
+    stride-1 pad-1 conv consuming the 2x2 phase representation.
+
+    Output coarse row i == fine row 2i (the stride-2 output grid); fine
+    tap u reads fine row 2i+u-2 = coarse (i + (u-2)//2, phase (u-2)%2),
+    so the folded kernel lands back on the NATIVE half-resolution layout.
+    Fine zero padding of 2 maps exactly to coarse zero padding of 1.
+    """
+    cin = w.shape[2]
+    # u -> (coarse offset index dy+1, input phase)
+    s2 = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0)]
+    k3 = jnp.zeros((3, 3, 4 * cin) + w.shape[3:], w.dtype)
+    for u in range(5):
+        dy, pa = s2[u]
+        for v in range(5):
+            dx, pb = s2[v]
+            k3 = k3.at[dy, dx,
+                       (pa * 2 + pb) * cin:(pa * 2 + pb + 1) * cin].add(
+                w[u, v])
+    return k3
 
 
 class Conv3x3(nn.Module):
@@ -276,11 +356,42 @@ class ConvBlock(nn.Module):
         return nn.elu(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameter holder, tree-identical to ``nn.Conv``
+    (``kernel`` (kh, kw, Cin, Cout) HWIO + optional ``bias``), so folded
+    callers can apply derived kernels while keeping checkpoint and
+    converter compatibility.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (self.in_features, self.features))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+
+
 class ConvBNReLU(nn.Module):
     """conv(bias iff no bn) -> BN -> optional ReLU.
 
     Matches the FPN's Conv2d block (reference:
     movedepth/networks/resnet_encoder.py:453-470, bn_momentum=0.1).
+
+    ``fold`` (eval-only) selects a subpixel-folded schedule computing the
+    SAME function from the same parameters on the 2x2 phase
+    representation (channel order (a*2+b)*C + c):
+      * ``"phase"``: 3x3 stride-1 zero-pad-1 conv, phase rep in -> phase
+        rep out, at 1/4 of the fine conv positions;
+      * ``"s2"``: 5x5 stride-2 zero-pad-2 conv, phase rep in -> NATIVE
+        half-resolution layout out.
+    Both exist because the FPN's fine stages are MXU N-padding-bound
+    (8-16 channels pad to the 128 lanes; folding quadruples N and K).
     """
 
     features: int
@@ -293,15 +404,37 @@ class ConvBNReLU(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features, self.kernel_size, strides=self.strides,
-            padding=self.padding, use_bias=not self.use_bn, dtype=self.dtype,
-            name="conv",
-        )(x)
-        if self.use_bn:
+    def __call__(self, x, train: bool = False, fold: Optional[str] = None):
+        cin = x.shape[-1] // (4 if fold else 1)
+        holder = _ConvParams(self.features, cin, self.kernel_size,
+                             use_bias=not self.use_bn, name="conv")
+        kernel = holder.kernel
+        if fold == "phase":
+            assert not train and self.kernel_size == (3, 3) \
+                and tuple(self.strides) == (1, 1)
+            kernel, strides, padding = (fold_phase2_kernel(kernel), (1, 1),
+                                        ((1, 1), (1, 1)))
+        elif fold == "s2":
+            assert not train and self.kernel_size == (5, 5) \
+                and tuple(self.strides) == (2, 2)
+            kernel, strides, padding = (fold_conv5x5s2_kernel(kernel),
+                                        (1, 1), ((1, 1), (1, 1)))
+        else:
+            assert fold is None
+            strides, padding = self.strides, self.padding
+        dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        x = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), window_strides=strides,
+            padding=padding, dimension_numbers=dn)
+        if not self.use_bn:
+            x = x + (jnp.tile(holder.bias, 4) if fold == "phase"
+                     else holder.bias).astype(dtype)
+        else:
             x = torch_batchnorm(self.dtype, self.axis_name)(
-                x, use_running_average=not train)
+                x, use_running_average=not train,
+                phases=4 if fold == "phase" else 1)
         if self.relu:
             x = nn.relu(x)
         return x

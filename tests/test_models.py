@@ -85,6 +85,33 @@ def test_depth_decoder_fold_stage0_parity():
                                    np.asarray(op[("disp", s)]), atol=5e-6)
 
 
+def test_depth_decoder_fold_stage1_parity():
+    """The subpixel-folded stage 1 (upsample + skip-concat + upconv_1_1 as
+    one coarse conv, stage-0 merged conv consuming the phase rep) computes
+    the same function from the same parameters as the plain schedule."""
+    rng = np.random.default_rng(5)
+    chans = encoder_channels(18)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (2, H // 2 ** (i + 1),
+                                      W // 2 ** (i + 1), c))
+                    .astype(np.float32))
+        for i, c in enumerate(chans)
+    ]
+    folded = DepthDecoder(num_ch_enc=chans, fold_stage1=True,
+                          dtype=jnp.float32)
+    plain = DepthDecoder(num_ch_enc=chans, fold_stage1=False,
+                         dtype=jnp.float32)
+    variables = folded.init(KEY, feats)
+    # identical parameter trees: the fold changes the schedule, not params
+    assert (jax.tree.map(lambda a: a.shape, variables)
+            == jax.tree.map(lambda a: a.shape, plain.init(KEY, feats)))
+    of = folded.apply(variables, feats)
+    op = plain.apply(variables, feats)
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(of[("disp", s)]),
+                                   np.asarray(op[("disp", s)]), atol=5e-6)
+
+
 def test_depth_decoder_merge_heads_parity():
     """Merged disp heads (dispconv_{1..3} folded into the next stage's
     upconv as one conv) compute the same function from the same params.
@@ -129,6 +156,44 @@ def test_fpn4_shapes():
     match, ctx = model.apply(variables, x, False)
     assert match.shape == (1, H // 4, W // 4, 32)
     assert ctx.shape == (1, H // 4, W // 4, 32)
+
+
+@pytest.mark.parametrize("scale", [2, 1, 0])
+def test_fpn4_fold_eval_parity(scale):
+    """The eval-time subpixel-folded fine trunks (conv0_*/conv1_* on the
+    2x2 phase representation) compute the same function from the same
+    parameters as the plain schedule, at every FPN output scale."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    folded = FPN4(base_channels=8, scale=scale, fold_eval=True,
+                  dtype=jnp.float32)
+    plain = FPN4(base_channels=8, scale=scale, fold_eval=False,
+                 dtype=jnp.float32)
+    variables = folded.init(KEY, x, False)
+    # identical parameter trees: the fold changes the schedule, not params
+    assert (jax.tree.map(lambda a: a.shape, variables)
+            == jax.tree.map(lambda a: a.shape, plain.init(KEY, x, False)))
+    mf, cf = folded.apply(variables, x, False)
+    mp, cp = plain.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cp), atol=2e-5)
+
+
+def test_fpn4_fold_eval_train_mode_unchanged():
+    """Training mode never folds (BN batch statistics must be computed on
+    the fine grid); fold_eval has no effect on the train path."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    folded = FPN4(base_channels=8, scale=2, fold_eval=True,
+                  dtype=jnp.float32)
+    plain = FPN4(base_channels=8, scale=2, fold_eval=False,
+                 dtype=jnp.float32)
+    variables = folded.init(KEY, x, False)
+    (mf, _), sf = folded.apply(variables, x, True, mutable=["batch_stats"])
+    (mp, _), sp = plain.apply(variables, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mp), atol=0)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0), sf, sp)
 
 
 def test_reg3d_shapes():
