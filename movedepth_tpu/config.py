@@ -122,6 +122,12 @@ class Config:
     sweep_col_window: int = 128
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
+    # photometric losses on the folded-planar layout (ops/layout.py):
+    # channels packed into sublanes so the SSIM/L1/automask/smoothness
+    # chains run lane-dense instead of padding NHWC's C=3 lanes 42x.
+    # Same math (float reassociation only); off = the NHWC reference
+    # formulation
+    planar_losses: bool = True
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
     # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
     # fits the 16 GB HBM; at/below it, full-speed (no recompute). At the

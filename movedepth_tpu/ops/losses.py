@@ -100,6 +100,94 @@ def entropy(volume, axis, keepdims=False):
     return jnp.sum(-volume * jnp.log(clamped), axis=axis, keepdims=keepdims)
 
 
+# ------------------------------------------------------------ folded planar
+#
+# TPU-dense variants of the photometric ops above, operating on the
+# folded-planar layout of ops/layout.py: images as (..., H*cp, W) with
+# channels packed into sublanes (NHWC's C=3 lane dim pads 42x on TPU).
+# Same math -- a vertical shift of one image row is a folded shift of
+# ``cp`` rows, and zero pad channels contribute exact zeros to both L1
+# (|0-0|) and SSIM dissimilarity ((1 - c1*c2/(c1*c2))/2).
+
+
+def _reflect_pad1_folded(x, cp):
+    """Reflection-pad a folded image by one pixel on H and W."""
+    top = x[..., cp:2 * cp, :]
+    bot = x[..., -2 * cp:-cp, :]
+    x = jnp.concatenate([top, x, bot], axis=-2)
+    pad = [(0, 0)] * (x.ndim - 1) + [(1, 1)]
+    return jnp.pad(x, pad, mode="reflect")
+
+
+def _avg_pool3_folded(x, cp):
+    """VALID 3x3 per-channel mean pool of a folded image (..., A, W):
+    nine aligned slices, one fused elementwise loop (like _avg_pool3)."""
+    a, w = x.shape[-2], x.shape[-1]
+    hout, wout = a // cp - 2, w - 2
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            part = x[..., dy * cp:(dy + hout) * cp, dx:dx + wout]
+            out = part if out is None else out + part
+    return out / 9.0
+
+
+def ssim_folded(x, y, cp=4):
+    """:func:`ssim` on folded-planar images (..., H*cp, W).
+
+    Zero pad channels yield exact-zero dissimilarity, so a channel SUM
+    over the fold equals the sum over the real channels.
+    """
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    xp = _reflect_pad1_folded(x, cp)
+    yp = _reflect_pad1_folded(y, cp)
+    mu_x = _avg_pool3_folded(xp, cp)
+    mu_y = _avg_pool3_folded(yp, cp)
+    sigma_x = _avg_pool3_folded(xp * xp, cp) - mu_x * mu_x
+    sigma_y = _avg_pool3_folded(yp * yp, cp) - mu_y * mu_y
+    sigma_xy = _avg_pool3_folded(xp * yp, cp) - mu_x * mu_y
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1 - ssim_n / ssim_d) / 2, 0.0, 1.0)
+
+
+def reprojection_loss_folded(pred, target, c=3, cp=4, ssim_lw=0.85,
+                             use_ssim=True):
+    """:func:`reprojection_loss` on folded-planar images -> (..., H, W)."""
+    from movedepth_tpu.ops.layout import channel_mean_folded
+    l1 = channel_mean_folded(jnp.abs(target - pred), c, cp)
+    if not use_ssim:
+        return l1, l1
+    s = channel_mean_folded(ssim_folded(pred, target, cp), c, cp)
+    return ssim_lw * s + (1.0 - ssim_lw) * l1, l1
+
+
+def smooth_loss_planar(disp, img_folded, c=3, cp=4):
+    """:func:`smooth_loss` with a dense (B, H, W) disparity and a
+    folded-planar image -- no lane-padded single-channel maps."""
+    from movedepth_tpu.ops.layout import channel_mean_folded
+    dx = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+    dy = jnp.abs(disp[:, :-1, :] - disp[:, 1:, :])
+    ix = channel_mean_folded(
+        jnp.abs(img_folded[..., :-1] - img_folded[..., 1:]), c, cp)
+    iy = channel_mean_folded(
+        jnp.abs(img_folded[..., :-cp, :] - img_folded[..., cp:, :]), c, cp)
+    dx = dx * jnp.exp(-ix)
+    dy = dy * jnp.exp(-iy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+def min_reprojection_with_automask_planar(reproj_losses, identity_losses,
+                                          noise):
+    """:func:`min_reprojection_with_automask` on frame-stacked dense maps:
+    reproj/identity (B, F, H, W), noise (B, H, W) -> ((B,H,W), (B,H,W))."""
+    reproj = jnp.min(reproj_losses, axis=1)
+    ident = jnp.min(identity_losses, axis=1) + noise * 1e-5
+    mask = (reproj <= ident).astype(reproj.dtype)
+    return reproj, mask
+
+
 def min_reprojection_with_automask(reproj_losses, identity_losses, noise):
     """monodepth2 min-reprojection + identity automasking.
 

@@ -371,10 +371,16 @@ def _gather_warp(src, sx, sy):
     return jax.vmap(one)(src, gx, gy)
 
 
+def warp_folded_cp(precise: bool = False) -> int:
+    """Channel fold of the ``fold_out=True`` result (ops/layout.py)."""
+    return 8 if precise else 4
+
+
 @functools.partial(jax.jit, static_argnames=("row_window", "precise",
-                                             "interpret"))
+                                             "interpret", "fold_out"))
 def warp_images_border(src, sx, sy, row_window: int = 32,
-                       precise: bool = False, interpret: bool = False):
+                       precise: bool = False, interpret: bool = False,
+                       fold_out: bool = False):
     """Border-mode bilinear warp of images over D coordinate maps.
 
     src: (B, R, W, C) f32 images; sx, sy: (B, D, R, W) unnormalized pixel
@@ -383,6 +389,11 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     coordinates. Differentiable wrt sx/sy (custom Pallas coordinate VJP
     composed with the border clamp); ``src`` carries NO gradient (the
     photometric targets/sources are data, reference trainer.py:504-529).
+
+    ``fold_out=True`` returns the folded-planar layout instead --
+    (B, D, R*cp, W) with cp = :func:`warp_folded_cp` and zero pad
+    channels (see ops/layout.py) -- skipping the NHWC transpose so the
+    photometric-loss chain stays sublane/lane dense end to end.
     """
     b, r, wsrc, c = src.shape
     _, d, h, w = sx.shape
@@ -416,16 +427,27 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
         out = out.astype(jnp.float32)  # (B, D, H, Cp, W)
         if not precise:
             out = out[:, :, :, :c4] + out[:, :, :, c4:]
+        if fold_out:
+            # the kernel layout IS folded planar (pad channels zero by
+            # construction: warp of zero-padded src channels is zero)
+            return out.reshape(b, d, r * c4, w)
         # back to NHWC -- plain HLO, XLA picks the layouts
         return jnp.transpose(out[:, :, :, :c], (0, 1, 2, 4, 3))
 
+    def gather_path():
+        g = _gather_warp(src, sxc, syc)
+        if fold_out:
+            from movedepth_tpu.ops.layout import fold_image
+            return fold_image(g, c4)
+        return g
+
     if rw is None:
-        return _gather_warp(src, sxc, syc)
+        return gather_path()
     ladder = [rw]
     rw2 = _effective_window_cw(2 * rw, r, cp)
     if rw2 is not None:
         ladder.append(rw2)
-    out = lambda: _gather_warp(src, sxc, syc)
+    out = gather_path
     for width in reversed(ladder):
         ok = _coverage_ok_cw(syc, r, width, cp, db)
         out = (lambda ok=ok, width=width, nxt=out:

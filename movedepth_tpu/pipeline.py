@@ -38,12 +38,16 @@ from movedepth_tpu.ops.sampling import (
     resize_bilinear,
     stack_corners,
 )
+from movedepth_tpu.ops.layout import fold_image, unfold_image
 from movedepth_tpu.ops.losses import (
     entropy,
     masked_mean,
     min_reprojection_with_automask,
+    min_reprojection_with_automask_planar,
     reprojection_loss,
+    reprojection_loss_folded,
     smooth_loss,
+    smooth_loss_planar,
     ssim,
 )
 from movedepth_tpu.ops.costvolume import (
@@ -349,11 +353,23 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
     gather per source frame (shared corner table), and SSIM/L1 run over
     the folded (B*K) batch, cutting kernel count ~6x.
 
+    With ``cfg.planar_losses`` (the default) the whole SSIM/L1/automask/
+    smoothness chain additionally runs on the folded-planar layout
+    (ops/layout.py): channels in sublanes, W in lanes -- NHWC's C=3 lane
+    dim pads 42x on TPU and the loss maps' trailing 1 pads 128x, so the
+    dense form is the difference between the VPU running at a few percent
+    and at full rate. Identical math (parity test:
+    tests/test_pipeline.py::test_photometric_losses_planar_parity).
+
     Pose gradients: live T for the mono scales, detached T for MVS/fused
     (reference: trainer.py:499,573). ``mvs_mask`` optionally applies the
     conf/dist/geo masks (reference: trainer.py:649-657).
     Returns (losses dict, warped scale-0 images per frame for logging).
     """
+    if cfg.planar_losses:
+        return _photometric_losses_planar(disps, depth_mvs_full,
+                                          fused_depth, batch, cam_T_cam,
+                                          cfg, rng, mvs_mask, remat)
     color = batch["color"]
     target = color[:, 0]
     b, h, w = target.shape[0], target.shape[1], target.shape[2]
@@ -492,6 +508,152 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
                                                       noise)
     else:
         reproj = jnp.min(fuse_stack, axis=-1, keepdims=True)
+        mask = jnp.ones_like(reproj)
+    losses["fuse_reproj_loss"] = masked_mean(reproj, mask)
+    return losses, warped_log
+
+
+def _photometric_losses_planar(disps, depth_mvs_full, fused_depth, batch,
+                               cam_T_cam, cfg: Config, rng, mvs_mask,
+                               remat: bool):
+    """Folded-planar implementation of :func:`photometric_losses`.
+
+    Same structure and math as the NHWC body above; every image/loss map
+    is held channel-folded ((B, H*cp, W), ops/layout.py) or dense
+    ((B, H, W)), and the frame axis stacks on axis 1 instead of the
+    minor dim. RNG draw order/shapes match the NHWC path exactly.
+    """
+    color = batch["color"]
+    target = color[:, 0]
+    b, h, w = target.shape[0], target.shape[1], target.shape[2]
+    K0 = batch["K"]
+    invK0 = batch["inv_K"]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    nsc = cfg.num_scales
+    k_all = nsc + 2
+    use_pl = _use_pallas_warp(cfg, False)
+    cp = 4  # fold of both warp_images_border(fold_out) and fold_image
+    use_ssim = not cfg.no_ssim
+
+    depth_scales = []
+    for sc in cfg.scales:
+        dfull = resize_bilinear(disps[("disp", sc)][..., 0], (h, w),
+                                align_corners=False)
+        _, d = disp_to_depth(dfull, cfg.min_depth, cfg.max_depth)
+        depth_scales.append(d)
+    depth_all = jnp.stack(depth_scales + [depth_mvs_full, fused_depth],
+                          axis=1)  # (B, K, H, W)
+
+    color_f = fold_image(color, cp)  # (B, F, H*cp, W)
+    target_f = color_f[:, 0]
+
+    def _frame_block(depth_all, T_all, K0, invK0, src, target_f):
+        pts = backproject(depth_all, invK0[:, None])
+        grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
+        if use_pl:
+            from movedepth_tpu.ops.pallas.image_warp import (
+                warp_images_border,
+            )
+            from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
+            sx, sy = grid_to_pixel(grid, h, w)
+            warped_f = warp_images_border(src, sx, sy, fold_out=True)
+        else:
+            warped_f = fold_image(_multi_warp(src, grid), cp)
+        wf = warped_f.reshape(b * k_all, h * cp, w)
+        tf = jnp.broadcast_to(target_f[:, None],
+                              (b, k_all, h * cp, w)).reshape(wf.shape)
+        fn = lambda a, t: reprojection_loss_folded(a, t, 3, cp, cfg.ssim_lw,
+                                                   use_ssim)
+        rp, l1 = fn(wf, tf) if remat else jax.checkpoint(fn)(wf, tf)
+        return (rp.reshape(b, k_all, h, w), l1.reshape(b, k_all, h, w),
+                unfold_image(warped_f[:, 0], 3, cp))
+
+    if remat:
+        _frame_block = jax.checkpoint(_frame_block)
+
+    mono_reproj = []  # per frame: (B, nsc, H, W)
+    mvs_reproj = []
+    fuse_reproj = []
+    warped_log = {}
+    for f in cfg.frame_ids[1:]:
+        T_live = cam_T_cam[f]
+        T_det = lax.stop_gradient(T_live)
+        T_all = jnp.stack([T_live] * nsc + [T_det, T_det], axis=1)
+        src = color[:, fid_to_idx[f]]
+        rp, l1, w0 = _frame_block(depth_all, T_all, K0, invK0, src,
+                                  target_f)
+        warped_log[f] = w0
+        mono_reproj.append(rp[:, :nsc])
+        mvs_reproj.append(rp[:, nsc])
+        fuse_reproj.append(l1[:, nsc + 1])  # fuse: ssim_lw=0 == pure L1
+
+    losses: Dict[str, Any] = {}
+
+    # ---- mono: per-scale min-reprojection + automask + smoothness
+    ident = jnp.stack(
+        [
+            reprojection_loss_folded(color_f[:, fid_to_idx[f]], target_f,
+                                     3, cp, cfg.ssim_lw, use_ssim)[0]
+            for f in cfg.frame_ids[1:]
+        ],
+        axis=1,
+    )  # (B, F-1, H, W)
+    total = 0.0
+    for k, sc in enumerate(cfg.scales):
+        reprojs = jnp.stack([m[:, k] for m in mono_reproj], axis=1)
+        if not cfg.disable_automasking:
+            rng, sub = jax.random.split(rng)
+            # same draw shape as the NHWC path (RNG parity), then dense
+            noise = jax.random.normal(sub, (b, h, w, 1))[..., 0]
+            reproj, mask = min_reprojection_with_automask_planar(
+                reprojs, ident, noise)
+        else:
+            reproj = jnp.min(reprojs, axis=1)
+            mask = jnp.ones_like(reproj)
+        rl = masked_mean(reproj, mask)
+
+        disp = disps[("disp", sc)][..., 0]
+        color_sf = target_f if sc == 0 else fold_image(
+            batch[f"color_pyr_{sc}"], cp)
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        sl = smooth_loss_planar(disp / (mean_disp + 1e-7), color_sf, 3, cp)
+        losses[f"mono_smooth_loss/{sc}"] = sl
+        scale_loss = rl + cfg.disparity_smoothness * sl / (2 ** sc)
+        losses[f"loss/{sc}"] = scale_loss
+        total = total + scale_loss
+    losses["mono_loss"] = total / nsc
+
+    # ---- MVS: min over frames; optional conf/dist/geo masks
+    reproj = jnp.min(jnp.stack(mvs_reproj, axis=1), axis=1)  # (B, H, W)
+    mask = jnp.ones_like(reproj) if mvs_mask is None else mvs_mask[..., 0]
+    losses["mvs_reproj_loss"] = masked_mean(reproj, mask)
+    mvs_total = losses["mvs_reproj_loss"]
+    if cfg.mvs_smooth_loss:
+        d = depth_mvs_full
+        mean_d = jnp.mean(d, axis=(1, 2), keepdims=True)
+        sl = smooth_loss_planar(d / (mean_d + 1e-7), target_f, 3, cp)
+        losses["mvs_smooth_loss/0"] = sl
+        mvs_total = mvs_total + cfg.disparity_smoothness * sl
+    losses["mvs_loss"] = mvs_total
+
+    # ---- fuse: pure L1, optional automask (reference trainer.py:592-604)
+    fuse_stack = jnp.stack(fuse_reproj, axis=1)  # (B, F-1, H, W)
+    if cfg.mask_mvs_auto:
+        ident_l1 = jnp.stack(
+            [
+                reprojection_loss_folded(color_f[:, fid_to_idx[f]],
+                                         target_f, 3, cp, 0.0,
+                                         use_ssim)[1]
+                for f in cfg.frame_ids[1:]
+            ],
+            axis=1,
+        )
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, (b, h, w, 1))[..., 0]
+        reproj, mask = min_reprojection_with_automask_planar(
+            fuse_stack, ident_l1, noise)
+    else:
+        reproj = jnp.min(fuse_stack, axis=1)
         mask = jnp.ones_like(reproj)
     losses["fuse_reproj_loss"] = masked_mean(reproj, mask)
     return losses, warped_log
@@ -640,10 +802,12 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
                                          align_corners=True)
 
     # 9. fusion (trainer.py:411-416): only mask_cnn gets gradient
-    trust_full = resize_bilinear(trust_mono, (h, w), align_corners=True)
+    # dense (B, H, W) resize: the NHWC form's trailing 1 pads lanes 128x
+    trust_full = resize_bilinear(trust_mono[..., 0], (h, w),
+                                 align_corners=True)
     fused = (
-        (1.0 - trust_full[..., 0]) * lax.stop_gradient(depth_mvs_full)
-        + trust_full[..., 0] * lax.stop_gradient(mono_depth0)
+        (1.0 - trust_full) * lax.stop_gradient(depth_mvs_full)
+        + trust_full * lax.stop_gradient(mono_depth0)
     )
 
     # 10. all photometric losses in one fused multi-warp pass

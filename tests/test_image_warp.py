@@ -97,3 +97,38 @@ def test_image_warp_fallback_large_spread(rng):
     got = warp_images_border(src, sx, sy, precise=True, interpret=True)
     # jit vs eager float reassociation only
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_image_warp_fold_out_matches_nhwc(rng):
+    """fold_out=True returns the folded-planar layout with zero pad
+    channels, for both the kernel path and the gather fallback."""
+    from movedepth_tpu.ops.layout import unfold_image
+    from movedepth_tpu.ops.pallas.image_warp import warp_folded_cp
+
+    b, d, r, w, c = 1, 2, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    for precise in (False, True):
+        cp = warp_folded_cp(precise)
+        # kernel path (small offsets -> windows cover)
+        sx, sy = _coords(rng, b, d, r, w)
+        want = warp_images_border(src, sx, sy, precise=precise,
+                                  interpret=True)
+        folded = warp_images_border(src, sx, sy, precise=precise,
+                                    interpret=True, fold_out=True)
+        assert folded.shape == (b, d, r * cp, w)
+        full = unfold_image(folded, cp, cp)
+        np.testing.assert_allclose(np.asarray(full[..., :c]),
+                                   np.asarray(want), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(full[..., c:]), 0.0)
+        # fallback path (vertical spread overflows every window)
+        sy_spread = jnp.broadcast_to(
+            jnp.linspace(0.0, r - 1.0, w, dtype=jnp.float32)[None, None,
+                                                             None],
+            (b, d, r, w))
+        want = warp_images_border(src, sx, sy_spread, precise=precise,
+                                  interpret=True)
+        folded = warp_images_border(src, sx, sy_spread, precise=precise,
+                                    interpret=True, fold_out=True)
+        full = unfold_image(folded, cp, cp)
+        np.testing.assert_allclose(np.asarray(full[..., :c]),
+                                   np.asarray(want), atol=1e-6)

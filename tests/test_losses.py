@@ -99,3 +99,57 @@ def test_automask_semantics(rng):
     imin = i.min(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(reproj), rmin, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(mask), (rmin <= imin).astype(np.float32))
+
+
+def test_folded_ssim_matches_nhwc(rng):
+    """ssim_folded on the folded-planar layout == ssim on NHWC, and the
+    zero pad channel contributes exact-zero dissimilarity."""
+    from movedepth_tpu.ops.layout import fold_image, unfold_image
+
+    x = rng.uniform(0, 1, (2, 10, 14, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, (2, 10, 14, 3)).astype(np.float32)
+    ref = np.asarray(L.ssim(jnp.asarray(x), jnp.asarray(y)))
+    folded = L.ssim_folded(fold_image(jnp.asarray(x), 4),
+                           fold_image(jnp.asarray(y), 4), cp=4)
+    full = np.asarray(unfold_image(folded, 4, 4))
+    np.testing.assert_allclose(full[..., :3], ref, atol=1e-6)
+    np.testing.assert_array_equal(full[..., 3], 0.0)
+
+
+def test_folded_reprojection_matches_nhwc(rng):
+    from movedepth_tpu.ops.layout import fold_image
+
+    p = rng.uniform(0, 1, (2, 10, 14, 3)).astype(np.float32)
+    t = rng.uniform(0, 1, (2, 10, 14, 3)).astype(np.float32)
+    ref = np.asarray(L.reprojection_loss(jnp.asarray(p), jnp.asarray(t)))
+    rp, l1 = L.reprojection_loss_folded(fold_image(jnp.asarray(p), 4),
+                                        fold_image(jnp.asarray(t), 4))
+    np.testing.assert_allclose(np.asarray(rp), ref[..., 0], atol=1e-6)
+    ref_l1 = np.abs(p - t).mean(-1)
+    np.testing.assert_allclose(np.asarray(l1), ref_l1, atol=1e-6)
+
+
+def test_smooth_loss_planar_matches_nhwc(rng):
+    from movedepth_tpu.ops.layout import fold_image
+
+    disp = rng.uniform(0.1, 1, (2, 10, 14, 1)).astype(np.float32)
+    img = rng.uniform(0, 1, (2, 10, 14, 3)).astype(np.float32)
+    ref = float(L.smooth_loss(jnp.asarray(disp), jnp.asarray(img)))
+    ours = float(L.smooth_loss_planar(jnp.asarray(disp[..., 0]),
+                                      fold_image(jnp.asarray(img), 4)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_automask_planar_matches_nhwc(rng):
+    r = rng.uniform(0, 1, (1, 2, 4, 4)).astype(np.float32)  # (B, F, H, W)
+    i = rng.uniform(0, 1, (1, 2, 4, 4)).astype(np.float32)
+    noise = rng.normal(0, 1, (1, 4, 4)).astype(np.float32)
+    rp_p, m_p = L.min_reprojection_with_automask_planar(
+        jnp.asarray(r), jnp.asarray(i), jnp.asarray(noise))
+    rp_n, m_n = L.min_reprojection_with_automask(
+        jnp.asarray(r.transpose(0, 2, 3, 1)),
+        jnp.asarray(i.transpose(0, 2, 3, 1)),
+        jnp.asarray(noise[..., None]))
+    np.testing.assert_allclose(np.asarray(rp_p), np.asarray(rp_n)[..., 0],
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_n)[..., 0])

@@ -214,3 +214,58 @@ def test_heavy_remat_path_matches_light():
             # structurally wrong remat (dropped path, doubled
             # contribution) gives O(1)
             assert nd <= 3e-2 * max(n0, 1e-8), (scope, name, nd, n0)
+
+
+def test_photometric_losses_planar_parity():
+    """The folded-planar loss path (cfg.planar_losses) must reproduce the
+    NHWC formulation: same loss values and same parameter gradients.
+    Automasking stays ON here -- the two paths draw identical noise and
+    compute identical values up to float reassociation, so mask bits only
+    flip at exact ties (measure-zero on random data)."""
+    models = build_models(CFG)
+    variables = S.init_variables(models, CFG, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(CFG, 2))
+
+    def loss_fn(variables, c):
+        total, (losses, _, _) = P.forward_train(
+            models, variables, batch, c, jax.random.PRNGKey(3),
+            use_z_bins=jnp.asarray(False))
+        return total, losses
+
+    (l0, d0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables, CFG.replace(planar_losses=False))
+    (l1, d1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables, CFG.replace(planar_losses=True))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    assert set(d0) == set(d1)
+    for k in d0:
+        np.testing.assert_allclose(float(d0[k]), float(d1[k]), rtol=2e-4,
+                                   atol=1e-7, err_msg=k)
+    for name in g0:
+        n0 = np.sqrt(sum(float(jnp.sum(x.astype(jnp.float32) ** 2))
+                         for x in jax.tree_util.tree_leaves(g0[name])))
+        nd = np.sqrt(sum(
+            float(jnp.sum((a.astype(jnp.float32)
+                           - b.astype(jnp.float32)) ** 2))
+            for a, b in zip(jax.tree_util.tree_leaves(g0[name]),
+                            jax.tree_util.tree_leaves(g1[name]))))
+        assert nd <= 1e-3 * max(n0, 1e-8), (name, nd, n0)
+
+
+def test_photometric_losses_planar_heavy_remat():
+    """Planar path under the batch-gated remat: loss matches the light
+    planar trace (checkpoint structure mirrors the NHWC path)."""
+    cfg = CFG.replace(disable_automasking=True)
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 2))
+
+    def loss_fn(variables, c):
+        total, _ = P.forward_train(models, variables, batch, c,
+                                   jax.random.PRNGKey(3),
+                                   use_z_bins=jnp.asarray(True))
+        return total
+
+    l0 = loss_fn(variables, cfg)
+    l1 = loss_fn(variables, cfg.replace(remat_batch_threshold=0))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
