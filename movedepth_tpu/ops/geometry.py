@@ -161,6 +161,23 @@ def backproject(depth, inv_K):
     return jnp.concatenate([cam, ones], axis=-2)
 
 
+def project_pixel(points, K, T, height, width, eps=1e-7):
+    """:func:`project` returning raw PIXEL coordinates as two dense maps.
+
+    points: (..., 4, H*W); K, T: (..., 4, 4). Returns (sx, sy), each
+    (..., H, W) in align_corners=True pixel space -- the same values
+    ``grid_to_pixel(project(...))`` produces, without the normalize/
+    denormalize round trip or the 2-lane-minor (..., H, W, 2) stack
+    (which pads the lane dim 64x on TPU). Used by the folded-planar
+    photometric path, whose warp kernel takes pixel coords directly.
+    """
+    P = (K @ T)[..., :3, :]  # (..., 3, 4)
+    cam = P @ points  # (..., 3, HW)
+    xy = cam[..., :2, :] / (cam[..., 2:3, :] + eps)
+    shape = xy.shape[:-2] + (height, width)
+    return xy[..., 0, :].reshape(shape), xy[..., 1, :].reshape(shape)
+
+
 def project(points, K, T, height, width, eps=1e-7):
     """Project homogeneous points into a camera -> normalized grid coords.
 

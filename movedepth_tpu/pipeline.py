@@ -31,6 +31,7 @@ from movedepth_tpu.ops.geometry import (
     backproject,
     disp_to_depth,
     project,
+    project_pixel,
     transformation_from_parameters,
 )
 from movedepth_tpu.ops.sampling import (
@@ -549,15 +550,16 @@ def _photometric_losses_planar(disps, depth_mvs_full, fused_depth, batch,
 
     def _frame_block(depth_all, T_all, K0, invK0, src, target_f):
         pts = backproject(depth_all, invK0[:, None])
-        grid = project(pts, K0[:, None], T_all, h, w)  # (B, K, H, W, 2)
         if use_pl:
             from movedepth_tpu.ops.pallas.image_warp import (
                 warp_images_border,
             )
-            from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
-            sx, sy = grid_to_pixel(grid, h, w)
+            # direct dense pixel coords: no [-1,1] round trip, no
+            # 2-lane-minor (B, K, H, W, 2) stack
+            sx, sy = project_pixel(pts, K0[:, None], T_all, h, w)
             warped_f = warp_images_border(src, sx, sy, fold_out=True)
         else:
+            grid = project(pts, K0[:, None], T_all, h, w)
             warped_f = fold_image(_multi_warp(src, grid), cp)
         wf = warped_f.reshape(b * k_all, h * cp, w)
         tf = jnp.broadcast_to(target_f[:, None],

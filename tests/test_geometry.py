@@ -121,3 +121,29 @@ def test_backproject_matches_reference_math(rng):
     expected = depth.reshape(b, 1, -1) * (np.linalg.inv(K3) @ pix)[None]
     np.testing.assert_allclose(pts[:, :3], expected, rtol=1e-5)
     np.testing.assert_allclose(pts[:, 3], np.ones((b, h * w)), atol=0)
+
+
+def test_project_pixel_matches_project(rng):
+    """project_pixel == grid_to_pixel(project(...)) (no normalize round
+    trip; used by the planar photometric path)."""
+    import jax.numpy as jnp
+    from movedepth_tpu.ops.geometry import project, project_pixel
+    from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
+
+    b, h, w = 2, 6, 8
+    pts = rng.normal(0, 1, (b, 4, h * w)).astype(np.float32)
+    pts[:, 2] += 4.0  # in front of the camera
+    pts[:, 3] = 1.0
+    K = np.eye(4, dtype=np.float32)[None].repeat(b, 0)
+    K[:, 0, 0], K[:, 1, 1] = 50.0, 40.0
+    K[:, 0, 2], K[:, 1, 2] = w / 2, h / 2
+    T = np.eye(4, dtype=np.float32)[None].repeat(b, 0)
+    T[:, 0, 3] = 0.3
+    grid = project(jnp.asarray(pts), jnp.asarray(K), jnp.asarray(T), h, w)
+    sx_ref, sy_ref = grid_to_pixel(grid, h, w)
+    sx, sy = project_pixel(jnp.asarray(pts), jnp.asarray(K),
+                           jnp.asarray(T), h, w)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(sx_ref),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sy), np.asarray(sy_ref),
+                               rtol=1e-5, atol=1e-4)
