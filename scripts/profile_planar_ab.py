@@ -55,11 +55,14 @@ def time_step(cfg, batch_size, iters=8):
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [8, 24]
     hw = (int(os.environ.get("AB_H", 192)), int(os.environ.get("AB_W", 640)))
+    thresh = os.environ.get("AB_REMAT_THRESHOLD")
     for bs in sizes:
         row = {}
         for planar in (True, False):
             cfg = Config(batch_size=bs, planar_losses=planar,
                          height=hw[0], width=hw[1])
+            if thresh is not None:
+                cfg = cfg.replace(remat_batch_threshold=int(thresh))
             ms, gb = time_step(cfg, bs)
             row[planar] = (ms, gb)
             log(f"batch {bs} planar={planar}: {ms:.1f} ms/step, "
