@@ -269,3 +269,28 @@ def test_photometric_losses_planar_heavy_remat():
     l0 = loss_fn(variables, cfg)
     l1 = loss_fn(variables, cfg.replace(remat_batch_threshold=0))
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+
+
+def test_multi_frame_matching():
+    """Two matching frames (reference --use_future_frame /
+    --num_matching_frames=2): the multi-frame cost weighting paths
+    (softmax-max over groups at train, depth-axis at eval) run and both
+    directions contribute (dropping the future frame changes the MVS
+    depth)."""
+    cfg = CFG.replace(matching_ids=(0, -1, 1))
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 2))
+
+    total, (losses, outputs, _) = P.forward_train(
+        models, variables, batch, cfg, jax.random.PRNGKey(3),
+        use_z_bins=jnp.asarray(False))
+    assert np.isfinite(float(total))
+    assert np.isfinite(np.asarray(outputs["depth_mvs"])).all()
+
+    out2 = P.forward_infer(models, variables, batch, cfg)
+    out1 = P.forward_infer(models, variables, batch,
+                           cfg.replace(matching_ids=(0, -1)))
+    d2, d1 = np.asarray(out2["depth_mvs"]), np.asarray(out1["depth_mvs"])
+    assert np.isfinite(d2).all() and (d2 > 0).all()
+    assert np.abs(d2 - d1).max() > 1e-6
