@@ -120,6 +120,12 @@ class Config:
     # host-side coverage check on sx disables it per call when the band
     # overflows. 0 disables
     sweep_col_window: int = 128
+    # epipolar source-COLUMN window of the full-res photometric image
+    # warp (ops/pallas/image_warp.py): output columns run in chunks whose
+    # horizontal taps sit in a disparity band, dropping the contraction K
+    # from W to this window; a host-side coverage check falls back to the
+    # full-row rung per call when the band overflows. 0 disables
+    warp_col_window: int = 384
     # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
     native_loader: bool = False
     # photometric losses on the folded-planar layout (ops/layout.py):

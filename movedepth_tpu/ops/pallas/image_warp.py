@@ -105,6 +105,56 @@ def _coverage_ok_cw(sy, R, RW, C, db):
     return jnp.all(mx <= r0 + RW - 1)
 
 
+_LANE_ALIGN = 128  # dynamic lane-dim slices must sit on a 128 boundary
+
+
+def _effective_col_window_cw(cw, w):
+    """Source-column window actually used for a requested ``cw``.
+
+    Rounded up to a multiple of the 128-lane tile; the 128-aligned base
+    can sit up to 127 columns below the leftmost tap, so the minimum
+    useful window is 2 tiles. At >= W the windowing is a no-op."""
+    if not cw:
+        return None
+    cw = ((max(cw, 2 * _LANE_ALIGN) + 127) // 128) * 128
+    return None if cw >= w else cw
+
+
+def _x_chunk_cw(w: int, cw: int) -> int:
+    """Output columns per chunk: the largest divisor of w <= 3/8 of the
+    window, leaving >= half the window for the base's 128-alignment loss
+    plus the epipolar disparity band."""
+    xb = max(1, cw * 3 // 8)
+    while w % xb:
+        xb -= 1
+    return xb
+
+
+def _col_base_cw(x0i, W, CW):
+    """128-aligned column-window base from the floor'd horizontal coords
+    of one (d-block x x-chunk). Lockstep with `_coverage_x_ok_cw`."""
+    valid = (x0i >= -1) & (x0i <= W - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(x0i, 0), W - 1))
+    hi = (W - CW) - (W - CW) % _LANE_ALIGN
+    return jnp.clip(mn - mn % _LANE_ALIGN, 0, hi)
+
+
+def _coverage_x_ok_cw(sx, W, CW, XB, db):
+    """Host-side replica of `_col_base_cw` over every (b, h, d-block,
+    x-chunk): true iff each chunk's CW-column window covers its in-frame
+    horizontal taps. sx: natural (B, D, H, W)."""
+    b, d, h, w = sx.shape
+    blocks = sx.reshape(b, d // db, db, h, w // XB, XB)
+    x0 = jnp.floor(jnp.clip(blocks, -2.0, W + 1.0)).astype(jnp.int32)
+    valid = (x0 >= -1) & (x0 <= W - 1)
+    mn = jnp.min(jnp.where(valid, jnp.maximum(x0, 0), W - 1), axis=(2, 5))
+    mx = jnp.max(jnp.where(valid, jnp.minimum(x0 + 1, W - 1), 0),
+                 axis=(2, 5))
+    hi = (W - CW) - (W - CW) % _LANE_ALIGN
+    c0 = jnp.clip(mn - mn % _LANE_ALIGN, 0, hi)
+    return jnp.all(mx <= c0 + CW - 1)
+
+
 def _chunk_sum_rows(x, c):
     """Sum an (n*c, W) array over its n sublane chunks -> (c, W).
 
@@ -145,14 +195,18 @@ def _stack_n(db: int, w: int) -> int:
     return min(db, 4, max(1, 1280 // w))
 
 
-def _cw_onehots(sx_row, sy_row, R, C, RW, w, r0, dt, derivative):
+def _cw_onehots(sx_row, sy_row, R, C, RW, kw, xw, r0, c0, dt, derivative):
     """Transposed selection matrices for one bin.
 
-    sx_row/sy_row: (1, W) coordinate rows. Returns (HT (Wsrc, W) cast to
-    dt, VT (RW*C, W) f32); ``derivative`` picks d/dsx resp. d/dsy forms.
+    sx_row/sy_row: (1, xw) coordinate rows (natural coords -- ``c0``
+    makes the horizontal taps window-relative; integer f32 subtraction is
+    exact). Returns (HT (kw, xw) cast to dt, VT (RW*C, xw) f32);
+    ``derivative`` picks d/dsx resp. d/dsy forms.
     """
-    qT = lax.broadcasted_iota(jnp.int32, (w, w), 0)  # [q, x] = q
-    rT = lax.broadcasted_iota(jnp.int32, (RW * C, w), 0) // C
+    if c0 is not None:
+        sx_row = sx_row - c0
+    qT = lax.broadcasted_iota(jnp.int32, (kw, xw), 0)  # [q, x] = q
+    rT = lax.broadcasted_iota(jnp.int32, (RW * C, xw), 0) // C
 
     if derivative is None and dt != jnp.float32:
         # bf16 production forward: bilinear HAT build, 3 VPU ops/element
@@ -188,8 +242,22 @@ def _cw_onehots(sx_row, sy_row, R, C, RW, w, r0, dt, derivative):
     return ht.astype(dt), vt
 
 
-def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW):
-    """Forward: outT[c, x] = sum_r VT[r*C+c, x] * (srcW @ HT)[r*C+c, x]."""
+def _src_window(srcT_ref, r0, rw_c, c0, CW, R, C):
+    """One VMEM load of the (row x column)-windowed source block."""
+    rsl = (slice(None) if rw_c is None
+           else pl.ds(pl.multiple_of(r0 * C, 8), rw_c))
+    if c0 is None:
+        return srcT_ref[0, rsl]
+    return srcT_ref[0, rsl, pl.ds(pl.multiple_of(c0, _LANE_ALIGN), CW)]
+
+
+def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, CW, XB):
+    """Forward: outT[c, x] = sum_r VT[r*C+c, x] * (srcW @ HT)[r*C+c, x].
+
+    With CW set, output columns run in XB-wide chunks whose horizontal
+    taps sit in an epipolar disparity band: the H contraction reads a
+    CW-column source window (K drops W -> CW) and the one-hot builds
+    shrink from (W, W) to (CW, XB) per chunk."""
     db, w = sx_ref.shape[1], sx_ref.shape[4]
     dt = srcT_ref.dtype
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
@@ -198,39 +266,55 @@ def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW):
     sx_all = jnp.clip(sx_ref[0, :, 0, 0], -2.0, w + 1.0)  # (db, W)
     sy_all = jnp.clip(sy_ref[0, :, 0, 0], -2.0, R + 1.0)
 
-    if RW == R:
-        r0 = 0
-        src_w = srcT_ref[0]  # (R*C, W)
-    else:
+    rw_c = None if RW == R else RW * C
+    r0 = 0
+    if rw_c is not None:
         y0i = jnp.floor(sy_all).astype(jnp.int32)
         r0 = _window_base_cw(y0i, R, RW, C)
-        src_w = srcT_ref[0, pl.ds(pl.multiple_of(r0 * C, 8), RW * C)]
 
-    sg = _stack_n(db, w)
-    for g in range(0, db, sg):
-        sg = min(sg, db - g)
-        hts = []
-        vts = []
-        for d in range(g, g + sg):
-            ht, vt = _cw_onehots(sx_all[d:d + 1], sy_all[d:d + 1], R, C,
-                                 RW, w, r0, dt, None)
-            hts.append(ht)
-            vts.append(vt)
-        ht_all = jnp.concatenate(hts, axis=1)  # (Wsrc, sg*W)
-        hi = jnp.dot(src_w, ht_all, precision=prec,
-                     preferred_element_type=jnp.float32)  # (RW*C, sg*W)
-        for i in range(sg):
-            hv = _chunk_sum_rows(hi[:, i * w:(i + 1) * w] * vts[i], C)
-            out_ref[0, g + i, 0] = hv.astype(out_ref.dtype)  # (C, W)
+    nxc = 1 if CW is None else w // XB
+    xw = w if CW is None else XB
+    kw = w if CW is None else CW
+    sg0 = _stack_n(db, xw)
+    for xc in range(nxc):
+        if CW is None:
+            xsl = slice(None)
+            c0 = c0f = None
+        else:
+            xsl = slice(xc * XB, (xc + 1) * XB)
+            x0_blk = jnp.floor(sx_all[:, xsl]).astype(jnp.int32)
+            c0 = _col_base_cw(x0_blk, w, CW)
+            c0f = c0.astype(jnp.float32)
+        src_x = _src_window(srcT_ref, r0, rw_c, c0, CW, R, C)
+        for g in range(0, db, sg0):
+            sg = min(sg0, db - g)
+            hts = []
+            vts = []
+            for d in range(g, g + sg):
+                ht, vt = _cw_onehots(sx_all[d:d + 1, xsl],
+                                     sy_all[d:d + 1, xsl], R, C, RW, kw,
+                                     xw, r0, c0f, dt, None)
+                hts.append(ht)
+                vts.append(vt)
+            ht_all = jnp.concatenate(hts, axis=1)  # (kw, sg*xw)
+            hi = jnp.dot(src_x, ht_all, precision=prec,
+                         preferred_element_type=jnp.float32)
+            for i in range(sg):
+                hv = _chunk_sum_rows(hi[:, i * xw:(i + 1) * xw] * vts[i], C)
+                if CW is None:
+                    out_ref[0, g + i, 0] = hv.astype(out_ref.dtype)
+                else:
+                    out_ref[0, g + i, 0, :, xsl] = hv.astype(out_ref.dtype)
 
 
-def _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret):
+def _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret):
     b = srcT.shape[0]
     _, d, h, w = sx.shape
     nd = d // db
     sx5 = sx.reshape(b, d, h, 1, w)  # free: metadata-only singleton
     sy5 = sy.reshape(b, d, h, 1, w)
-    kernel = functools.partial(_warp_cw_kernel, R=r, C=c, RW=rw)
+    kernel = functools.partial(_warp_cw_kernel, R=r, C=c, RW=rw, CW=cw,
+                               XB=None if cw is None else _x_chunk_cw(w, cw))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, d, h, c, w), srcT.dtype),
@@ -247,7 +331,7 @@ def _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret):
 
 
 def _coord_bwd_cw_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref,
-                         *, R, C, RW, WHICH):
+                         *, R, C, RW, CW, XB, WHICH):
     """One coordinate-gradient component (WHICH = 'x' or 'y') per launch.
 
     Computing dsx and dsy in one kernel keeps ~10 (RW*C, N) f32
@@ -255,6 +339,7 @@ def _coord_bwd_cw_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref,
     constructions) and blows the 16 MB scoped-VMEM limit at the full
     640x192 training resolution; two launches halve the live set. The
     backward runs once per train step -- the extra matmul is noise.
+    Column windowing (CW/XB) chunks exactly like the forward.
     """
     db, w = sx_ref.shape[1], sx_ref.shape[4]
     dt = srcT_ref.dtype
@@ -264,37 +349,53 @@ def _coord_bwd_cw_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref,
     sx_all = jnp.clip(sx_ref[0, :, 0, 0], -2.0, w + 1.0)
     sy_all = jnp.clip(sy_ref[0, :, 0, 0], -2.0, R + 1.0)
 
-    if RW == R:
-        r0 = 0
-        src_w = srcT_ref[0]
-    else:
+    rw_c = None if RW == R else RW * C
+    r0 = 0
+    if rw_c is not None:
         y0i = jnp.floor(sy_all).astype(jnp.int32)
         r0 = _window_base_cw(y0i, R, RW, C)
-        src_w = srcT_ref[0, pl.ds(pl.multiple_of(r0 * C, 8), RW * C)]
 
-    sg = _stack_n(db, w)
-    for g in range(0, db, sg):
-        sg = min(sg, db - g)
-        hts = []
-        vts = []
-        for d in range(g, g + sg):
-            ht, vt = _cw_onehots(sx_all[d:d + 1], sy_all[d:d + 1], R, C,
-                                 RW, w, r0, dt, WHICH)
-            hts.append(ht)
-            vts.append(vt)
-        ht_all = jnp.concatenate(hts, axis=1)
-        mi = jnp.dot(src_w, ht_all, precision=prec,
-                     preferred_element_type=jnp.float32)  # (RW*C, sg*W)
-        for i in range(sg):
-            d = g + i
-            gexp = pltpu.repeat(g_ref[0, d, 0].astype(jnp.float32), RW,
-                                axis=0)  # (RW*C, W): row r*C+c = g[c]
-            col = jnp.sum(mi[:, i * w:(i + 1) * w] * vts[i] * gexp,
-                          axis=0, keepdims=True)  # (1, W)
-            dref[0, d, 0] = col
+    nxc = 1 if CW is None else w // XB
+    xw = w if CW is None else XB
+    kw = w if CW is None else CW
+    sg0 = _stack_n(db, xw)
+    for xc in range(nxc):
+        if CW is None:
+            xsl = slice(None)
+            c0 = c0f = None
+        else:
+            xsl = slice(xc * XB, (xc + 1) * XB)
+            x0_blk = jnp.floor(sx_all[:, xsl]).astype(jnp.int32)
+            c0 = _col_base_cw(x0_blk, w, CW)
+            c0f = c0.astype(jnp.float32)
+        src_x = _src_window(srcT_ref, r0, rw_c, c0, CW, R, C)
+        for g in range(0, db, sg0):
+            sg = min(sg0, db - g)
+            hts = []
+            vts = []
+            for d in range(g, g + sg):
+                ht, vt = _cw_onehots(sx_all[d:d + 1, xsl],
+                                     sy_all[d:d + 1, xsl], R, C, RW, kw,
+                                     xw, r0, c0f, dt, WHICH)
+                hts.append(ht)
+                vts.append(vt)
+            ht_all = jnp.concatenate(hts, axis=1)
+            mi = jnp.dot(src_x, ht_all, precision=prec,
+                         preferred_element_type=jnp.float32)
+            for i in range(sg):
+                d = g + i
+                gexp = pltpu.repeat(
+                    g_ref[0, d, 0][:, xsl].astype(jnp.float32), RW,
+                    axis=0)  # (RW*C, xw): row r*C+c = g[c]
+                col = jnp.sum(mi[:, i * xw:(i + 1) * xw] * vts[i] * gexp,
+                              axis=0, keepdims=True)  # (1, xw)
+                if CW is None:
+                    dref[0, d, 0] = col
+                else:
+                    dref[0, d, 0, :, xsl] = col
 
 
-def _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, interpret):
+def _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, cw, interpret):
     b = srcT.shape[0]
     _, d, h, w = sx.shape
     nd = d // db
@@ -306,8 +407,9 @@ def _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, interpret):
                               memory_space=pltpu.VMEM)
 
     def launch(which):
-        kernel = functools.partial(_coord_bwd_cw_kernel, R=r, C=c, RW=rw,
-                                   WHICH=which)
+        kernel = functools.partial(
+            _coord_bwd_cw_kernel, R=r, C=c, RW=rw, CW=cw,
+            XB=None if cw is None else _x_chunk_cw(w, cw), WHICH=which)
         return pl.pallas_call(
             kernel,
             out_shape=coord_out,
@@ -327,20 +429,21 @@ def _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, interpret):
             launch("y").reshape(b, d, h, w))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _warp_cw_cdiff(srcT, sx, sy, r, c, rw, db, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _warp_cw_cdiff(srcT, sx, sy, r, c, rw, db, cw=None, interpret=False):
     """Windowed CW warp, differentiable wrt the COORDINATES (src is data)."""
-    return _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret)
+    return _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret)
 
 
-def _warp_cw_cdiff_fwd(srcT, sx, sy, r, c, rw, db, interpret=False):
-    out = _warp_cw_call(srcT, sx, sy, r, c, rw, db, interpret)
+def _warp_cw_cdiff_fwd(srcT, sx, sy, r, c, rw, db, cw=None,
+                       interpret=False):
+    out = _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret)
     return out, (srcT, sx, sy)
 
 
-def _warp_cw_cdiff_bwd(r, c, rw, db, interpret, res, g):
+def _warp_cw_cdiff_bwd(r, c, rw, db, cw, interpret, res, g):
     srcT, sx, sy = res
-    dsx, dsy = _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db,
+    dsx, dsy = _coord_bwd_cw_call(srcT, sx, sy, g, r, c, rw, db, cw,
                                   interpret)
     return jnp.zeros_like(srcT), dsx, dsy
 
@@ -376,11 +479,12 @@ def warp_folded_cp(precise: bool = False) -> int:
     return 8 if precise else 4
 
 
-@functools.partial(jax.jit, static_argnames=("row_window", "precise",
-                                             "interpret", "fold_out"))
+@functools.partial(jax.jit, static_argnames=("row_window", "col_window",
+                                             "precise", "interpret",
+                                             "fold_out"))
 def warp_images_border(src, sx, sy, row_window: int = 32,
-                       precise: bool = False, interpret: bool = False,
-                       fold_out: bool = False):
+                       col_window: int = 384, precise: bool = False,
+                       interpret: bool = False, fold_out: bool = False):
     """Border-mode bilinear warp of images over D coordinate maps.
 
     src: (B, R, W, C) f32 images; sx, sy: (B, D, R, W) unnormalized pixel
@@ -394,6 +498,13 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     (B, D, R*cp, W) with cp = :func:`warp_folded_cp` and zero pad
     channels (see ops/layout.py) -- skipping the NHWC transpose so the
     photometric-loss chain stays sublane/lane dense end to end.
+
+    ``col_window`` adds an epipolar column-windowed rung to the dispatch
+    ladder (narrowest first): when every XB-wide output chunk's
+    horizontal taps fit a CW-column source window, the H contraction's
+    K drops from W to CW and the one-hot builds shrink (W, W) ->
+    (CW, XB) per chunk. 0 disables; a host-side coverage check falls
+    back to the row-only rung when the disparity band overflows.
     """
     b, r, wsrc, c = src.shape
     _, d, h, w = sx.shape
@@ -422,8 +533,9 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     db = d  # K warp maps per source frame: one block
     rw = _effective_window_cw(row_window, r, cp)
 
-    def pallas_path(width):
-        out = _warp_cw_cdiff(srcT, sxc, syc, r, cp, width, db, interpret)
+    def pallas_path(width, cw):
+        out = _warp_cw_cdiff(srcT, sxc, syc, r, cp, width, db, cw,
+                             interpret)
         out = out.astype(jnp.float32)  # (B, D, H, Cp, W)
         if not precise:
             out = out[:, :, :, :c4] + out[:, :, :, c4:]
@@ -443,13 +555,21 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
 
     if rw is None:
         return gather_path()
-    ladder = [rw]
+    # rung ladder, narrowest first: column-windowed -> row-only -> wider
+    # row -> exact gather. Each rung's host-side coverage check gates it.
+    rungs = []
+    cwin = _effective_col_window_cw(col_window, w)
+    if cwin is not None:
+        rungs.append((rw, cwin))
+    rungs.append((rw, None))
     rw2 = _effective_window_cw(2 * rw, r, cp)
     if rw2 is not None:
-        ladder.append(rw2)
+        rungs.append((rw2, None))
     out = gather_path
-    for width in reversed(ladder):
+    for width, cw in reversed(rungs):
         ok = _coverage_ok_cw(syc, r, width, cp, db)
-        out = (lambda ok=ok, width=width, nxt=out:
-               lax.cond(ok, lambda: pallas_path(width), nxt))
+        if cw is not None:
+            ok = ok & _coverage_x_ok_cw(sxc, w, cw, _x_chunk_cw(w, cw), db)
+        out = (lambda ok=ok, width=width, cw=cw, nxt=out:
+               lax.cond(ok, lambda: pallas_path(width, cw), nxt))
     return out()

@@ -302,7 +302,7 @@ def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
 
 # ----------------------------------------------------------------- loss core
 
-def _multi_warp(src, grid, use_pallas=False):
+def _multi_warp(src, grid, use_pallas=False, col_window=384):
     """Warp one source image stack with K grids each: (B, K, H, W, 3).
 
     On TPU (``use_pallas``) this is the one-hot MXU kernel with a custom
@@ -320,7 +320,7 @@ def _multi_warp(src, grid, use_pallas=False):
         from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
         h, w = src.shape[1], src.shape[2]
         sx, sy = grid_to_pixel(grid, h, w)
-        return warp_images_border(src, sx, sy)
+        return warp_images_border(src, sx, sy, col_window=col_window)
     b = src.shape[0]
     chunk = max(d for d in range(1, min(8, b) + 1) if b % d == 0)
 
@@ -415,7 +415,8 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         # gather formulation is ROW-RATE-bound on TPU (~127M rows/s), so
         # on TPU they run as the border-mode one-hot MXU kernel with a
         # custom coordinate VJP (ops/pallas/image_warp.py).
-        warped = _multi_warp(src, grid, use_pallas=use_pl)  # (B, K, H, W, 3)
+        warped = _multi_warp(src, grid, use_pallas=use_pl,
+                             col_window=cfg.warp_col_window)
         wf = warped.reshape(b * k_all, h, w, 3)
         tf = jnp.broadcast_to(target[:, None],
                               (b, k_all, h, w, 3)).reshape(wf.shape)
@@ -557,7 +558,8 @@ def _photometric_losses_planar(disps, depth_mvs_full, fused_depth, batch,
             # direct dense pixel coords: no [-1,1] round trip, no
             # 2-lane-minor (B, K, H, W, 2) stack
             sx, sy = project_pixel(pts, K0[:, None], T_all, h, w)
-            warped_f = warp_images_border(src, sx, sy, fold_out=True)
+            warped_f = warp_images_border(src, sx, sy, fold_out=True,
+                                          col_window=cfg.warp_col_window)
         else:
             grid = project(pts, K0[:, None], T_all, h, w)
             warped_f = fold_image(_multi_warp(src, grid), cp)

@@ -132,3 +132,52 @@ def test_image_warp_fold_out_matches_nhwc(rng):
         full = unfold_image(folded, cp, cp)
         np.testing.assert_allclose(np.asarray(full[..., :c]),
                                    np.asarray(want), atol=1e-6)
+
+
+def test_image_warp_col_window_matches_full(rng):
+    """Epipolar column windowing (narrow disparity bands at W > window):
+    exact vs the unwindowed kernel, forward and coordinate gradient."""
+    b, d, r, w = 1, 2, 16, 640
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, 3)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w, off=3.0)
+
+    want = warp_images_border(src, sx, sy, col_window=0, precise=True,
+                              interpret=True)
+    got = warp_images_border(src, sx, sy, col_window=384, precise=True,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+    tgt = jnp.asarray(rng.uniform(0, 1, want.shape).astype(np.float32))
+
+    def loss(cw):
+        return lambda a, b2: jnp.sum(
+            (warp_images_border(src, a, b2, col_window=cw, precise=True,
+                                interpret=True) - tgt) ** 2)
+
+    gx_w, gy_w = jax.grad(loss(384), (0, 1))(sx, sy)
+    gx_f, gy_f = jax.grad(loss(0), (0, 1))(sx, sy)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_f),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy_w), np.asarray(gy_f),
+                               atol=1e-4)
+
+
+def test_image_warp_col_window_overflow_falls_back(rng):
+    """Horizontal taps spanning the whole width within one chunk: the
+    column rung's coverage check must reject and the row-only rung must
+    still be exact."""
+    b, d, r, w = 1, 1, 16, 640
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, 3)).astype(np.float32))
+    # x mirrored: chunk 0's taps span [0, W) -- no 384-window covers them
+    sx = jnp.broadcast_to(
+        jnp.linspace(w - 1.0, 0.0, w, dtype=jnp.float32)[None, None, None],
+        (b, d, r, w))
+    ys, _ = np.meshgrid(np.arange(r), np.arange(w), indexing="ij")
+    sy = jnp.asarray(np.broadcast_to(ys, (b, d, r, w)).astype(np.float32))
+    want = warp_images_border(src, sx, sy, col_window=0, precise=True,
+                              interpret=True)
+    got = warp_images_border(src, sx, sy, col_window=384, precise=True,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
