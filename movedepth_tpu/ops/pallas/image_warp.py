@@ -559,7 +559,8 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     # row -> exact gather. Each rung's host-side coverage check gates it.
     rungs = []
     cwin = _effective_col_window_cw(col_window, w)
-    if cwin is not None:
+    if cwin is not None and _x_chunk_cw(w, cwin) % _LANE_ALIGN == 0:
+        # chunked out-ref stores need 128-aligned lane offsets
         rungs.append((rw, cwin))
     rungs.append((rw, None))
     rw2 = _effective_window_cw(2 * rw, r, cp)
