@@ -668,7 +668,7 @@ def compute_mvs_masks(cost_prob, disp0, batch, cam_T_cam, depth_mvs_full,
     """Optional MVS-loss masks (reference: trainer.py:419-426,649-657).
 
     conf: max softmax prob (trilinear-upsampled) > photo_conf;
-    dist: full-res mono disparity > dist_thres;
+    dist: full-res mono disparity (dense (B, H, W)) > dist_thres;
     geo:  forward-backward reprojection consistency per source frame.
     Returns (B, H, W, 1) float mask or None when all flags are off.
     """
@@ -687,7 +687,7 @@ def compute_mvs_masks(cost_prob, disp0, batch, cam_T_cam, depth_mvs_full,
         prob_max = jnp.max(up, axis=1)
         mask = mask * (prob_max[..., None] > cfg.photo_conf)
     if cfg.mask_mvs_dist:
-        mask = mask * (disp0 > cfg.dist_thres)
+        mask = mask * (disp0[..., None] > cfg.dist_thres)
     if cfg.mask_mvs_geo:
         from movedepth_tpu.ops.masking import geometric_consistency_mask
         fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
@@ -757,10 +757,11 @@ def forward_train(models, variables, batch, cfg: Config, rng, use_z_bins,
     disps, _ = _apply(models, variables, "mono_depth", feats)
 
     # 4. full-res scale-0 mono depth (needed for the fusion input; the
-    # photometric losses recompute it identically -- XLA CSEs the pair)
-    disp0_full = resize_bilinear(disps[("disp", 0)], (h, w),
+    # photometric losses recompute it identically -- XLA CSEs the pair).
+    # Dense (B, H, W): the NHWC form's trailing 1 pads lanes 128x
+    disp0_full = resize_bilinear(disps[("disp", 0)][..., 0], (h, w),
                                  align_corners=False)
-    _, mono_depth0 = disp_to_depth(disp0_full[..., 0], cfg.min_depth,
+    _, mono_depth0 = disp_to_depth(disp0_full, cfg.min_depth,
                                    cfg.max_depth)
 
     # 5. depth bins from the detached mono prior (trainer.py:333-346)

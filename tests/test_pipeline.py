@@ -294,3 +294,15 @@ def test_multi_frame_matching():
     d2, d1 = np.asarray(out2["depth_mvs"]), np.asarray(out1["depth_mvs"])
     assert np.isfinite(d2).all() and (d2 > 0).all()
     assert np.abs(d2 - d1).max() > 1e-6
+
+
+def test_mask_mvs_dist_shape():
+    """dist mask thresholds the dense full-res mono disparity."""
+    cfg = CFG.replace(mask_mvs_dist=True, dist_thres=0.5)
+    b, h, w = 2, cfg.height, cfg.width
+    disp0 = jnp.linspace(0, 1, b * h * w).reshape(b, h, w)
+    batch = {"color": jnp.zeros((b, 3, h, w, 3))}
+    mask = P.compute_mvs_masks(None, disp0, batch, None, None, cfg)
+    assert mask.shape == (b, h, w, 1)
+    np.testing.assert_array_equal(
+        np.asarray(mask[..., 0]), (np.asarray(disp0) > 0.5))
