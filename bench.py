@@ -20,12 +20,13 @@ diagnostics go to stderr; stdout carries only the JSON line.
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from movedepth_tpu.config import Config
+from movedepth_tpu.config import Config, KERNEL_TIERS
 from movedepth_tpu.models import build_models
 from movedepth_tpu.data.synthetic import make_batch
 from movedepth_tpu import pipeline as P
@@ -95,10 +96,8 @@ def temper_pose_head(variables):
     return v
 
 
-def main():
-    cfg = Config()  # shipped: 192x640, ResNet18, 16 bins, convex up, bf16
+def run_tier(cfg):
     models = build_models(cfg)
-    log(f"devices: {jax.devices()}")
     variables = temper_pose_head(
         S.init_variables(models, cfg, jax.random.PRNGKey(0)))
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, BATCH))
@@ -108,8 +107,25 @@ def main():
     per_iter = (t_long - t_short) / (N_LONG - N_SHORT)
     log(f"short({N_SHORT})={t_short:.4f}s long({N_LONG})={t_long:.4f}s "
         f"-> {per_iter * 1000:.2f} ms/iter at batch {BATCH}")
+    return BATCH / per_iter
 
-    fps = BATCH / per_iter
+
+def main():
+    log(f"devices: {jax.devices()}")
+    fps = None
+    for name, overrides in KERNEL_TIERS:
+        # shipped config: 192x640, ResNet18, 16 bins, convex up, bf16
+        cfg = Config().replace(**overrides)
+        try:
+            log(f"tier: {name}")
+            fps = run_tier(cfg)
+            break
+        except Exception:
+            log(f"tier '{name}' failed:")
+            traceback.print_exc(file=sys.stderr)
+    if fps is None:
+        raise SystemExit("all benchmark tiers failed")
+
     log(f"{fps:.1f} frames/s/chip")
     print(json.dumps({
         "metric": "depth_frames_per_sec_per_chip_640x192_mvs",

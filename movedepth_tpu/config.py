@@ -86,6 +86,9 @@ class Config:
     mask_lw: float = 10.0  # masked-augmentation consistency weight
     no_ssim: bool = False
     disable_automasking: bool = False
+    # mean-over-frames instead of per-pixel min for the mono reprojection
+    # (monodepth2 semantics; the reference declares the flag,
+    # options.py:150, but its trainer never consumes it)
     avg_reprojection: bool = False
     mask_mvs_conf: bool = False
     mask_mvs_dist: bool = False
@@ -103,6 +106,9 @@ class Config:
     # ---- system ----
     num_workers: int = 12
     compute_dtype: str = "bfloat16"  # dtype of conv/matmul compute on TPU
+    # parameter STORAGE dtype: variables are cast to this at init
+    # (bfloat16 halves parameter HBM; compute casts are governed by
+    # compute_dtype either way). BN running stats stay float32.
     param_dtype: str = "float32"
     # fused Pallas plane-sweep warp (inference path; auto-disabled off-TPU)
     pallas_warp: bool = True
@@ -164,9 +170,6 @@ class Config:
     pred_depth_scale_factor: float = 1.0
     post_process: bool = False
 
-    # ---- parallelism (TPU-native replacement of reference DDP flags) ----
-    data_axis: str = "data"  # mesh axis name for data parallelism / SyncBN
-
     # -------------------------------------------------------------- helpers
     @property
     def num_scales(self) -> int:
@@ -191,6 +194,22 @@ class Config:
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
         return Config(**d)
+
+
+# Kernel-feature degradation ladder, strongest first. Tier 0 is the full
+# fast path; each later tier disables one class of custom-kernel rung whose
+# Mosaic compilation could regress with a toolchain change (Mosaic
+# rejections are compile-time errors, so the runtime lax.cond coverage
+# ladders cannot catch them). The last tier is the pure-XLA formulation.
+# bench.py and __graft_entry__ walk this ladder on compile failure.
+KERNEL_TIERS: Tuple[Tuple[str, dict], ...] = (
+    ("full fast path", {}),
+    ("column windows off", {"sweep_col_window": 0, "warp_col_window": 0}),
+    ("kernel windows off",
+     {"sweep_row_window": 0, "sweep_col_window": 0, "warp_col_window": 0}),
+    ("pure XLA", {"pallas_warp": False, "sweep_row_window": 0,
+                  "sweep_col_window": 0, "warp_col_window": 0}),
+)
 
 
 def validate(cfg: Config) -> Config:

@@ -454,9 +454,16 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         ],
         axis=-1,
     )
+    # monodepth2 --avg_reprojection: mean over source frames instead of
+    # the per-pixel min (the automask then compares the two averages).
+    # Declared-but-dead in the reference (options.py:150); live here.
+    if cfg.avg_reprojection:
+        ident = jnp.mean(ident, axis=-1, keepdims=True)
     total = 0.0
     for k, sc in enumerate(cfg.scales):
         reprojs = jnp.concatenate([m[:, k] for m in mono_reproj], axis=-1)
+        if cfg.avg_reprojection:
+            reprojs = jnp.mean(reprojs, axis=-1, keepdims=True)
         if not cfg.disable_automasking:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, ident.shape[:-1] + (1,))
@@ -602,9 +609,15 @@ def _photometric_losses_planar(disps, depth_mvs_full, fused_depth, batch,
         ],
         axis=1,
     )  # (B, F-1, H, W)
+    # monodepth2 --avg_reprojection (see the NHWC branch above): frame
+    # means feed the same automask/min path as singleton frame stacks.
+    if cfg.avg_reprojection:
+        ident = jnp.mean(ident, axis=1, keepdims=True)
     total = 0.0
     for k, sc in enumerate(cfg.scales):
         reprojs = jnp.stack([m[:, k] for m in mono_reproj], axis=1)
+        if cfg.avg_reprojection:
+            reprojs = jnp.mean(reprojs, axis=1, keepdims=True)
         if not cfg.disable_automasking:
             rng, sub = jax.random.split(rng)
             # same draw shape as the NHWC path (RNG parity), then dense

@@ -72,6 +72,17 @@ def init_variables(models: Dict[str, Any], cfg: Config, rng) -> Dict:
         variables["mask_cnn"] = models["mask_cnn"].init(keys[6], ent, False)
         if "up" in models:
             variables["up"] = models["up"].init(keys[7], ctx)
+
+        pd = jnp.dtype(cfg.param_dtype)
+        if pd != jnp.float32:
+            # parameter STORAGE dtype (config.param_dtype): cast the
+            # "params" collections only -- BN running stats keep float32
+            # so long-horizon stat accumulation does not lose precision.
+            variables = {
+                m: dict(v, params=jax.tree.map(
+                    lambda x: x.astype(pd), v["params"]))
+                for m, v in variables.items()
+            }
         return variables
 
     return jax.jit(_init)(rng)

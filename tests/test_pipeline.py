@@ -252,6 +252,47 @@ def test_photometric_losses_planar_parity():
         assert nd <= 1e-3 * max(n0, 1e-8), (name, nd, n0)
 
 
+def test_avg_reprojection(setup):
+    """cfg.avg_reprojection (monodepth2 mean-over-frames semantics; the
+    reference declares the flag at options.py:150 but never consumes it):
+    the planar and NHWC paths agree, and the mono loss genuinely moves
+    off the min-reprojection value."""
+    models, variables, batch = setup
+
+    def mono_loss(c):
+        _, (losses, _, _) = P.forward_train(
+            models, variables, batch, c, jax.random.PRNGKey(3),
+            use_z_bins=jnp.asarray(False))
+        return float(losses["mono_loss"])
+
+    avg_cfg = CFG.replace(avg_reprojection=True)
+    m_nhwc = mono_loss(avg_cfg.replace(planar_losses=False))
+    m_planar = mono_loss(avg_cfg.replace(planar_losses=True))
+    m_min = mono_loss(CFG.replace(planar_losses=False))
+    np.testing.assert_allclose(m_nhwc, m_planar, rtol=1e-5)
+    # mean over source frames upper-bounds the per-pixel min
+    assert m_nhwc > m_min + 1e-6
+
+
+def test_param_dtype_bfloat16_storage():
+    """cfg.param_dtype='bfloat16' casts parameter STORAGE at init;
+    BN running stats stay float32."""
+    cfg = CFG.replace(param_dtype="bfloat16")
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    for m, v in variables.items():
+        for leaf in jax.tree_util.tree_leaves(v["params"]):
+            assert leaf.dtype == jnp.bfloat16, (m, leaf.dtype)
+        for leaf in jax.tree_util.tree_leaves(dict(v).get("batch_stats",
+                                                          {})):
+            assert leaf.dtype == jnp.float32, (m, leaf.dtype)
+    # the forward still runs on bf16-stored params
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 1))
+    out = P.forward_infer(models, variables, batch, cfg)
+    assert np.isfinite(np.asarray(out["depth_mvs"],
+                                  dtype=np.float32)).all()
+
+
 def test_photometric_losses_planar_heavy_remat():
     """Planar path under the batch-gated remat: loss matches the light
     planar trace (checkpoint structure mirrors the NHWC path)."""
