@@ -18,6 +18,7 @@ diagnostics go to stderr; stdout carries only the JSON line.
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -33,7 +34,9 @@ from movedepth_tpu import pipeline as P
 from movedepth_tpu.train import state as S
 
 BASELINE_FPS = 750.0  # 5x monodepth2-PyTorch-GPU (~150 fps at 640x192)
-BATCH = 128  # throughput-optimal on v5e (fixed overheads amortized)
+# throughput-optimal on v5e (fixed overheads amortized); BENCH_BATCH
+# overrides for batch-scan experiments without editing the graded file
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 N_SHORT = 2
 N_LONG = 10
 
