@@ -124,8 +124,11 @@ class Config:
     # band, so the H contraction needs only this many source columns
     # (K drops W -> 128 = one MXU K-tile at the 160-wide prior scale); a
     # host-side coverage check on sx disables it per call when the band
-    # overflows. 0 disables
-    sweep_col_window: int = 128
+    # overflows. 0 disables. OFF by default: chip A/B measured the
+    # windowed rung +11 ms/iter at batch 128 (154.6 -> 165.7 ms
+    # whole-model; the chunked H blocks defeat the kernel's stacked-bin
+    # concatenation -- PROFILE.md, session of 2026-08-18)
+    sweep_col_window: int = 0
     # epipolar source-COLUMN window of the full-res photometric image
     # warp (ops/pallas/image_warp.py): output columns run in chunks whose
     # horizontal taps sit in a disparity band, dropping the contraction K

@@ -44,8 +44,13 @@ class FPN4(nn.Module):
     # channel convs are MXU N-padding-bound (pad to the 128 lanes), so
     # conv0_*/conv1_* run on the 2x2 phase representation (4x channels at
     # 1/4 the positions -- same math, see layers.fold_phase2_kernel) and
-    # the stride-2 conv1_0/conv2_0 land back on the native layout
-    fold_eval: bool = True
+    # the stride-2 conv1_0/conv2_0 land back on the native layout.
+    # OFF by default: chip A/B measured it +56 ms/iter at batch 128
+    # (109.2 -> 165.7 ms whole-model; the fold's space_to_depth re-layouts
+    # on the full-res tensors cost more than the lane occupancy saves --
+    # PROFILE.md, session of 2026-08-18). Kept as a tested option for
+    # shapes where the trunk dominates.
+    fold_eval: bool = False
     dtype: Any = None
     axis_name: Optional[str] = None
 
