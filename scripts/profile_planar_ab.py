@@ -1,9 +1,13 @@
 """A/B the folded-planar photometric path on the full train step.
 
 Times make_train_step end to end (fwd+bwd+Adam) with cfg.planar_losses
-on vs off at the given batch sizes, plus the compiled HBM temp footprint
-from XLA memory analysis. Chip-day variance on the tunnel is ~30%, so
-only same-run comparisons are meaningful.
+on vs off at the given batch sizes. The steps are CHAINED inside an
+on-device lax.scan (long/short pair, differenced) -- a host dispatch
+loop under-measures through the axon tunnel, whose block_until_ready
+returns before the device work drains (observed 5 ms/"step" for a
+290 ms step). Optionally (AB_MEM=1) also reports the compiled HBM temp
+footprint of the single jitted step. Chip-day variance on the tunnel is
+~30%, so only same-run comparisons are meaningful.
 
 Usage: python scripts/profile_planar_ab.py [batch ...]  (default: 8 24)
 """
@@ -16,7 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import optax
+
+# Persistent compilation cache: the tunnel compiles a full train step in
+# minutes; re-runs and the on/off pair share whatever matches.
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from movedepth_tpu.config import Config
 from movedepth_tpu.models import build_models
@@ -28,27 +43,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_step(cfg, batch_size, iters=8):
+def time_step(cfg, batch_size, n_long=6, n_short=2):
     models = build_models(cfg)
     state, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0))
     step = S.make_train_step(models, cfg, tx)
+    step_fn = step.__wrapped__  # unjitted body, re-jitted inside the scan
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size))
-    rng = jax.random.PRNGKey(1)
     zb = jnp.asarray(True)
 
-    try:
-        mem = step.lower(state, batch, rng, zb).compile().memory_analysis()
-        temp_gb = mem.temp_size_in_bytes / 2**30
-    except Exception:
-        temp_gb = float("nan")
+    temp_gb = float("nan")
+    if os.environ.get("AB_MEM"):
+        try:
+            mem = step.lower(state, batch, jax.random.PRNGKey(1),
+                             zb).compile().memory_analysis()
+            temp_gb = mem.temp_size_in_bytes / 2**30
+        except Exception:
+            pass
 
-    state, losses, _ = step(state, batch, rng, zb)
-    jax.block_until_ready(losses["loss"])
-    t0 = time.time()
-    for _ in range(iters):
-        state, losses, _ = step(state, batch, rng, zb)
-    jax.block_until_ready(losses["loss"])
-    ms = (time.time() - t0) / iters * 1000.0
+    def make(n):
+        def outer(state, batch):
+            def body(carry, _):
+                st, rng = carry
+                rng, sub = jax.random.split(rng)
+                st, losses, _ = step_fn(st, batch, sub, zb)
+                return (st, rng), losses["loss"].astype(jnp.float32)
+            (_, _), ls = lax.scan(body, (state, jax.random.PRNGKey(1)),
+                                  None, length=n)
+            return jnp.mean(ls)
+        return jax.jit(outer)
+
+    def timed(f):
+        float(f(state, batch))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(f(state, batch))
+            best = min(best, time.time() - t0)
+        return best
+
+    ts = timed(make(n_short))
+    tl = timed(make(n_long))
+    ms = (tl - ts) / (n_long - n_short) * 1000.0
     return ms, temp_gb
 
 
@@ -56,9 +91,13 @@ def main():
     sizes = [int(a) for a in sys.argv[1:]] or [8, 24]
     hw = (int(os.environ.get("AB_H", 192)), int(os.environ.get("AB_W", 640)))
     thresh = os.environ.get("AB_REMAT_THRESHOLD")
+    # AB_VARIANT=on|off runs a single variant (tunnel compiles are slow;
+    # split the pair across invocations and compare same-chip-day numbers)
+    only = os.environ.get("AB_VARIANT")
+    variants = {"on": (True,), "off": (False,)}.get(only, (True, False))
     for bs in sizes:
         row = {}
-        for planar in (True, False):
+        for planar in variants:
             cfg = Config(batch_size=bs, planar_losses=planar,
                          height=hw[0], width=hw[1])
             if thresh is not None:
@@ -67,8 +106,9 @@ def main():
             row[planar] = (ms, gb)
             log(f"batch {bs} planar={planar}: {ms:.1f} ms/step, "
                 f"temp {gb:.2f} GB")
-        on, off = row[True][0], row[False][0]
-        log(f"batch {bs}: planar speedup {off / on:.2f}x")
+        if True in row and False in row:
+            on, off = row[True][0], row[False][0]
+            log(f"batch {bs}: planar speedup {off / on:.2f}x")
 
 
 if __name__ == "__main__":
