@@ -84,6 +84,9 @@ def time_step(cfg, batch_size, n_long=6, n_short=2):
     ts = timed(make(n_short))
     tl = timed(make(n_long))
     ms = (tl - ts) / (n_long - n_short) * 1000.0
+    if ms <= 0:
+        log(f"WARNING: long-short difference <= 0 ({ms:.2f} ms) -- "
+            f"dominated by timing noise; raise n_long or rerun")
     return ms, temp_gb
 
 
@@ -94,6 +97,9 @@ def main():
     # AB_VARIANT=on|off runs a single variant (tunnel compiles are slow;
     # split the pair across invocations and compare same-chip-day numbers)
     only = os.environ.get("AB_VARIANT")
+    if only not in (None, "", "on", "off"):
+        raise SystemExit(f"AB_VARIANT must be 'on', 'off', or unset; "
+                         f"got {only!r}")
     variants = {"on": (True,), "off": (False,)}.get(only, (True, False))
     for bs in sizes:
         row = {}
