@@ -175,3 +175,88 @@ def test_bundled_split_lists():
     for split in ("eigen_benchmark", "eigen_full", "odom", "benchmark",
                   "monorec"):
         assert os.path.isdir(os.path.join(base, split))
+
+
+# ------------------------------------------------- multi-host sharding
+
+class _IndexDataset:
+    """Map-style dataset whose samples carry their own index, so a Loader's
+    epoch stream reveals exactly which global indices this rank consumed."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.asarray(i)}
+
+
+def _epoch_order(loader, epoch):
+    return np.concatenate([b["idx"] for b in loader.epoch(epoch)])
+
+
+def test_multihost_loader_sharding():
+    """The DistributedSampler contract at the Loader level (reference:
+    movedepth/utils.py:73-87): per-epoch rank index sets are disjoint,
+    cover the dataset, are epoch-seeded deterministic across independent
+    Loader constructions, and interleave one global epoch permutation."""
+    n = 37
+    make = lambda rank: Loader(_IndexDataset(n), batch_size=4, rank=rank,
+                               world_size=2, shuffle=True, drop_last=False,
+                               num_workers=2, seed=3)
+    l0, l1 = make(0), make(1)
+    for epoch in (0, 1):
+        i0, i1 = _epoch_order(l0, epoch), _epoch_order(l1, epoch)
+        assert set(i0.tolist()) & set(i1.tolist()) == set()
+        assert set(i0.tolist()) | set(i1.tolist()) == set(range(n))
+        # both ranks stride ONE shared global permutation (rank k takes
+        # perm[k::world]) -- the property that makes per-host loaders
+        # equivalent to a single global sampler
+        perm = np.empty(n, dtype=i0.dtype)
+        perm[0::2], perm[1::2] = i0, i1
+        assert sorted(perm.tolist()) == list(range(n))
+    # deterministic: a freshly constructed Loader replays the same epoch
+    np.testing.assert_array_equal(_epoch_order(make(0), 0),
+                                  _epoch_order(l0, 0))
+    # reshuffled across epochs
+    assert not np.array_equal(_epoch_order(l0, 0), _epoch_order(l0, 1))
+
+
+def test_multihost_loader_drop_last():
+    """Train-loader semantics: drop_last trims each RANK's stream to whole
+    batches independently (reference torch DataLoader drop_last=True over
+    the rank shard)."""
+    n, bs = 11, 2  # rank 0 gets 6 -> 3 batches; rank 1 gets 5 -> 2 batches
+    l0 = Loader(_IndexDataset(n), batch_size=bs, rank=0, world_size=2,
+                shuffle=False, drop_last=True, num_workers=2)
+    l1 = Loader(_IndexDataset(n), batch_size=bs, rank=1, world_size=2,
+                shuffle=False, drop_last=True, num_workers=2)
+    assert len(l0) == 3 and len(l1) == 2
+    assert len(list(l0.epoch(0))) == 3
+    assert len(list(l1.epoch(0))) == 2
+
+
+def test_initialize_distributed_plumbing(monkeypatch):
+    """initialize_distributed forwards its arguments to
+    jax.distributed.initialize and returns (process_index, process_count)
+    (the torch.distributed.launch equivalent; reference:
+    train_movedepth.sh:15, trainer.py:48-49)."""
+    import jax
+    from movedepth_tpu.parallel.mesh import initialize_distributed
+
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        seen.update(coordinator_address=coordinator_address,
+                    num_processes=num_processes, process_id=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    rank, world = initialize_distributed("10.0.0.1:1234", 8, 3)
+    assert seen == {"coordinator_address": "10.0.0.1:1234",
+                    "num_processes": 8, "process_id": 3}
+    assert (rank, world) == (3, 8)
