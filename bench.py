@@ -37,6 +37,9 @@ BASELINE_FPS = 750.0  # 5x monodepth2-PyTorch-GPU (~150 fps at 640x192)
 # throughput-optimal on v5e (fixed overheads amortized); BENCH_BATCH
 # overrides for batch-scan experiments without editing the graded file
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# BENCH_TEMPER=0 benchmarks the freshly-initialized pose regime instead of
+# the trained-checkpoint regime (see temper_pose_head); diagnostics only
+TEMPER = os.environ.get("BENCH_TEMPER", "1") != "0"
 N_SHORT = 2
 N_LONG = 10
 
@@ -101,9 +104,19 @@ def temper_pose_head(variables):
 
 def run_tier(cfg):
     models = build_models(cfg)
-    variables = temper_pose_head(
-        S.init_variables(models, cfg, jax.random.PRNGKey(0)))
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    if TEMPER:
+        variables = temper_pose_head(variables)
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, BATCH))
+
+    # name the kernel rungs the value-dependent dispatch actually takes
+    # for THIS batch (outside the timed region; diagnostics only)
+    try:
+        for k, v in P.kernel_rung_report(models, variables, batch,
+                                         cfg).items():
+            log(f"rung {k}: {v}")
+    except Exception as e:
+        log(f"rung report unavailable: {e!r}")
 
     t_short = timed(make_bench_fn(models, cfg, N_SHORT), variables, batch)
     t_long = timed(make_bench_fn(models, cfg, N_LONG), variables, batch)
@@ -115,6 +128,7 @@ def run_tier(cfg):
 
 def main():
     log(f"devices: {jax.devices()}")
+    log(f"pose temper: {'on (trained-checkpoint regime)' if TEMPER else 'OFF (fresh-init regime)'}")
     fps = None
     for name, overrides in KERNEL_TIERS:
         # shipped config: 192x640, ResNet18, 16 bins, convex up, bf16

@@ -555,8 +555,19 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
 
     if rw is None:
         return gather_path()
-    # rung ladder, narrowest first: column-windowed -> row-only -> wider
-    # row -> exact gather. Each rung's host-side coverage check gates it.
+    out = gather_path
+    for width, cw in reversed(_warp_rungs(rw, r, w, cp, col_window)):
+        ok = _coverage_ok_cw(syc, r, width, cp, db)
+        if cw is not None:
+            ok = ok & _coverage_x_ok_cw(sxc, w, cw, _x_chunk_cw(w, cw), db)
+        out = (lambda ok=ok, width=width, cw=cw, nxt=out:
+               lax.cond(ok, lambda: pallas_path(width, cw), nxt))
+    return out()
+
+
+def _warp_rungs(rw, r, w, cp, col_window):
+    """Dispatch ladder, narrowest first: column-windowed -> row-only ->
+    wider row; the exact gather path catches everything below."""
     rungs = []
     cwin = _effective_col_window_cw(col_window, w)
     if cwin is not None and _x_chunk_cw(w, cwin) % _LANE_ALIGN == 0:
@@ -566,11 +577,32 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     rw2 = _effective_window_cw(2 * rw, r, cp)
     if rw2 is not None:
         rungs.append((rw2, None))
-    out = gather_path
-    for width, cw in reversed(rungs):
-        ok = _coverage_ok_cw(syc, r, width, cp, db)
+    return rungs
+
+
+def warp_rung_report(src, sx, sy, row_window: int = 32,
+                     col_window: int = 384, precise: bool = False) -> str:
+    """Name the rung `warp_images_border` takes for these concrete inputs.
+
+    Diagnostic only (eager): evaluates the same coverage predicates the
+    dispatch ladder branches on. See sweep_warp.rung_report.
+    """
+    b, r, wsrc, c = src.shape
+    _, d, h, w = sx.shape
+    sxc = jnp.clip(sx, 0.0, w - 1.0)
+    syc = jnp.clip(sy, 0.0, r - 1.0)
+    cp = ((-c) % 8 + c) if precise else 2 * (c + (-c) % 4)
+    db = d
+    rw = _effective_window_cw(row_window, r, cp)
+    if rw is None:
+        return "exact gather (row windowing disabled)"
+    rungs = _warp_rungs(rw, r, w, cp, col_window)
+    for width, cw in rungs:
+        ok = bool(_coverage_ok_cw(syc, r, width, cp, db))
         if cw is not None:
-            ok = ok & _coverage_x_ok_cw(sxc, w, cw, _x_chunk_cw(w, cw), db)
-        out = (lambda ok=ok, width=width, cw=cw, nxt=out:
-               lax.cond(ok, lambda: pallas_path(width, cw), nxt))
-    return out()
+            ok = ok and bool(_coverage_x_ok_cw(sxc, w, cw,
+                                               _x_chunk_cw(w, cw), db))
+        if ok:
+            tag = f"rw={width}" + (f" cw={cw}" if cw is not None else "")
+            return f"{tag} (ladder {rungs})"
+    return f"exact gather fallback (ladder {rungs} all missed)"

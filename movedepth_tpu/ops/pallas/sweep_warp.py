@@ -692,3 +692,43 @@ def grid_to_pixel(grid, height, width):
     sx = (grid[..., 0] + 1.0) * 0.5 * (width - 1)
     sy = (grid[..., 1] + 1.0) * 0.5 * (height - 1)
     return sx, sy
+
+
+def rung_report(sx, sy, r, c, d_block: int = 8, row_window: int = 16,
+                row_block: int = 4, col_window: int = 128) -> str:
+    """Name the ladder rung `_windowed_dispatch` takes for these coords.
+
+    Diagnostic only (call with concrete arrays outside jit): evaluates the
+    SAME `_coverage_ok`/`_coverage_x_ok` predicates the dispatch's
+    lax.cond chain branches on, so the returned string is exactly the
+    kernel configuration that executes. Used by bench.py to make the
+    value-dependent epipolar dispatch observable.
+    """
+    d = sx.shape[1]
+    db = min(d_block, d)
+    rw = _effective_window(row_window, r, c)
+    if rw is None or rw >= r:
+        return f"exact full-row (rw=R={r}, rb=1; windowing disabled)"
+    sx_t = _prep_coords(sx, db)
+    sy_t = _prep_coords(sy, db)
+    ladder = _window_ladder(rw, r, c)
+    h = sy_t.shape[1]
+    rbs = [_row_block(h, max(1, min(_row_block(h, row_block) * 16 // wdt,
+                                    wdt - 6)))
+           for wdt in ladder]
+    rbs[-1] = 1
+    w = sx_t.shape[3]
+    cw_eff = _effective_col_window(col_window, w)
+    for i, wdt in enumerate(ladder):
+        if i == len(ladder) - 1:
+            return (f"exact full-row fallback (rw=R={r}, rb=1; "
+                    f"rung {i} of {ladder})")
+        if bool(_coverage_ok(sy_t, r, wdt, c, rbs[i])):
+            tag = f"rw={wdt} rb={rbs[i]} (rung {i} of {ladder}"
+            if i == 0 and cw_eff is not None:
+                cok = bool(_coverage_x_ok(sx_t, w, cw_eff,
+                                          _x_chunk(w, cw_eff), rbs[i]))
+                return tag + (f", col window cw={cw_eff})" if cok
+                              else ", col window MISSED)")
+            return tag + ")"
+    raise AssertionError("unreachable: ladder ends with the exact level")

@@ -920,6 +920,68 @@ def forward_infer(models, variables, batch, cfg: Config):
     }
 
 
+def kernel_rung_report(models, variables, batch, cfg: Config):
+    """Name the Pallas ladder rungs this batch's coordinates dispatch to.
+
+    Diagnostic (eager, runs the coordinate-producing prefix of
+    forward_infer once): the sweep and image-warp kernels pick their
+    epipolar window rung per call from value-dependent coverage checks
+    inside lax.cond, which is invisible in profiles; this surfaces the
+    decision so benchmarks can report WHICH kernel they actually timed.
+    Returns {name: rung string}.
+    """
+    from movedepth_tpu.ops.costvolume import sweep_grid
+    from movedepth_tpu.ops.pallas import image_warp as IW
+    from movedepth_tpu.ops.pallas import sweep_warp as SW
+
+    cfg = cfg.replace(frame_ids=cfg.matching_ids)
+    color = batch["color"]
+    fid_to_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    feats, _ = _apply(models, variables, "mono_encoder", color[:, 0])
+    disps, _ = _apply(models, variables, "mono_depth", feats)
+    if cfg.load_pose or "relative_pose" in batch:
+        cam_T_cam, rel, _ = poses_from_batch(batch, cfg)
+    else:
+        eval_batch = dict(batch)
+        eval_batch["color_aug"] = color
+        cam_T_cam, rel, _ = predict_poses(models, variables, eval_batch,
+                                          cfg, train=False)
+
+    disp_prior = disps[("disp", cfg.prior_scale)][..., 0]
+    _, depth_prior = disp_to_depth(disp_prior, cfg.min_depth, cfg.max_depth)
+    z = cfg.z_scale * rel[:, 0, 2, 3]
+    bins = schedule_depth_bins_z(
+        depth_prior, cfg.num_depth_bins, cfg.depth_bin_fac, z[:, None, None],
+        cfg.schedule_type)
+    K_p = scale_intrinsics(batch["K"], cfg.prior_scale)
+    invK_p = jnp.linalg.inv(K_p)
+
+    (match0, _), _ = _apply(models, variables, "mvs_encoder", color[:, 0])
+    c_match = match0.shape[-1]
+    h, w = bins.shape[-2], bins.shape[-1]
+    report = {}
+    for f_idx, f in enumerate(cfg.matching_ids[1:]):
+        grid = sweep_grid(bins, K_p, invK_p, rel[:, f_idx])
+        sx, sy = SW.grid_to_pixel(grid, h, w)
+        report[f"sweep[frame {f}]"] = SW.rung_report(
+            sx, sy, h, c_match,
+            row_window=cfg.sweep_row_window or None,
+            col_window=cfg.sweep_col_window or None)
+
+    # the train path's full-res photometric warp (scale-0 mono depth)
+    hf, wf = color.shape[2], color.shape[3]
+    _, d0 = disp_to_depth(disps[("disp", 0)][..., 0], cfg.min_depth,
+                          cfg.max_depth)
+    f = cfg.matching_ids[1]
+    pts = backproject(d0[:, None], batch["inv_K"][:, None])
+    grid = project(pts, batch["K"][:, None], cam_T_cam[f][:, None], hf, wf)
+    sx, sy = SW.grid_to_pixel(grid[:, 0], hf, wf)
+    report[f"image_warp[frame {f}, scale 0]"] = IW.warp_rung_report(
+        color[:, fid_to_idx[f]], sx[:, None], sy[:, None],
+        col_window=cfg.warp_col_window)
+    return report
+
+
 def forward_mono_infer(models, variables, batch, cfg: Config):
     """Single-frame mono inference (BASELINE.json config 1)."""
     feats, _ = _apply(models, variables, "mono_encoder", batch["color"][:, 0])

@@ -10,6 +10,10 @@ footprint of the single jitted step. Chip-day variance on the tunnel is
 ~30%, so only same-run comparisons are meaningful.
 
 Usage: python scripts/profile_planar_ab.py [batch ...]  (default: 8 24)
+
+Env knobs: AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
+AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0. AB_VARIANT
+restricts to one arm; AB_MEM=1 adds compiled HBM temp footprints.
 """
 
 import os
@@ -101,20 +105,28 @@ def main():
         raise SystemExit(f"AB_VARIANT must be 'on', 'off', or unset; "
                          f"got {only!r}")
     variants = {"on": (True,), "off": (False,)}.get(only, (True, False))
+    field = os.environ.get("AB_FIELD", "planar")
+    if field not in ("planar", "colwin"):
+        raise SystemExit(f"AB_FIELD must be 'planar' or 'colwin'; got "
+                         f"{field!r}")
     for bs in sizes:
         row = {}
-        for planar in variants:
-            cfg = Config(batch_size=bs, planar_losses=planar,
-                         height=hw[0], width=hw[1])
+        for on in variants:
+            if field == "planar":
+                cfg = Config(batch_size=bs, planar_losses=on,
+                             height=hw[0], width=hw[1])
+            else:
+                cfg = Config(batch_size=bs, warp_col_window=384 if on else 0,
+                             height=hw[0], width=hw[1])
             if thresh is not None:
                 cfg = cfg.replace(remat_batch_threshold=int(thresh))
             ms, gb = time_step(cfg, bs)
-            row[planar] = (ms, gb)
-            log(f"batch {bs} planar={planar}: {ms:.1f} ms/step, "
+            row[on] = (ms, gb)
+            log(f"batch {bs} {field}={on}: {ms:.1f} ms/step, "
                 f"temp {gb:.2f} GB")
         if True in row and False in row:
             on, off = row[True][0], row[False][0]
-            log(f"batch {bs}: planar speedup {off / on:.2f}x")
+            log(f"batch {bs}: {field} speedup {off / on:.2f}x")
 
 
 if __name__ == "__main__":

@@ -71,6 +71,58 @@ def test_predict_disparities_shapes(eval_tree):
     assert (mvs > 0).all() and np.isfinite(mono).all()
 
 
+def test_parity_eval_script(eval_tree, tmp_path):
+    """scripts/parity_eval.sh runs the WHOLE runbook (ckpt conversion ->
+    eval -> tables -> target diff) on a synthetic tree + a reference-style
+    folder of per-model .pth files (VERDICT round-2 item 6)."""
+    import subprocess
+
+    import torch
+
+    from test_torch_import import (
+        TorchConvexUpHead,
+        TorchDepthDecoderFull,
+        TorchFPN4,
+        TorchPoseDecoder,
+        TorchReg3D,
+        TorchResNet18Encoder,
+        TorchUncertNet,
+    )
+
+    data_path, _ = eval_tree
+    ckpt = tmp_path / "weights_19"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch_models = {
+        "mono_encoder": TorchResNet18Encoder(),
+        "mono_depth": TorchDepthDecoderFull([64, 64, 128, 256, 512]),
+        "pose_encoder": TorchResNet18Encoder(num_input_images=2),
+        "pose": TorchPoseDecoder(),
+        "mvs_encoder": TorchFPN4(),
+        "reg3d": TorchReg3D(16),
+        "mask_cnn": TorchUncertNet(),
+        "up": TorchConvexUpHead(),
+    }
+    for name, tm in torch_models.items():
+        torch.save(tm.state_dict(), ckpt / f"{name}.pth")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["SPLITS"] = data_path  # the fixture's split lists + gt_depths.npz
+    env["PARITY_CFG_OVERRIDES"] = (
+        "height=64,width=96,num_depth_bins=8,batch_size=1,"
+        "compute_dtype=float32,num_workers=2")
+    proc = subprocess.run(
+        [os.path.join(repo, "scripts", "parity_eval.sh"), data_path,
+         str(ckpt)],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=1200)
+    out = proc.stdout + proc.stderr
+    # random weights won't hit parity; the runbook must still complete
+    assert proc.returncode in (0, 1), out
+    assert "mvs results:" in out, out
+    assert "PARITY" in out, out
+
+
 def test_predict_disparities_post_process(eval_tree):
     data_path, split_dir = eval_tree
     cfg = Config(height=64, width=96, num_depth_bins=8, batch_size=2,
