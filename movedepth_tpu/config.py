@@ -141,15 +141,21 @@ class Config:
     # channels packed into sublanes so the SSIM/L1/automask/smoothness
     # chains run lane-dense instead of padding NHWC's C=3 lanes 42x.
     # Same math (float reassociation only); off = the NHWC reference
-    # formulation
-    planar_losses: bool = True
+    # formulation. Default off: chip A/B measured the planar TRAIN step
+    # SLOWER (275 vs 264 ms @ batch 8, 810 vs 656 ms @ batch 16) and OOM
+    # at batch 24 no-remat -- XLA fuses the NHWC chain into the warp
+    # epilogue anyway and the fold adds real reshape traffic
+    # (PROFILE.md 2026-08-19). Kept as a tested option
+    planar_losses: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
-    # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
-    # fits the 16 GB HBM; at/below it, full-speed (no recompute). At the
-    # shipped 640x192 the measured no-remat footprint is ~12.4 GB at batch
-    # 24 (see PROFILE.md), so 24 is the largest full-speed batch. Static
-    # at trace time.
-    remat_batch_threshold: int = 24
+    # trunk and the photometric frame blocks (jax.checkpoint) so batches
+    # 24/32 fit the 16 GB HBM; at/below it, full-speed (no recompute). At
+    # the shipped 640x192 the no-remat footprint measured 2026-08-19 is
+    # 15.93 GB at batch 24 (OOM over the 15.75 GB limit -- batch-minor
+    # padded copies at the frame-block checkpoint boundary, see
+    # PROFILE.md), so 16 is the largest full-speed batch. Static at
+    # trace time.
+    remat_batch_threshold: int = 16
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks
     # (faster backward, a few GB more residuals)

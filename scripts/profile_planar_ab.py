@@ -120,7 +120,16 @@ def main():
                              height=hw[0], width=hw[1])
             if thresh is not None:
                 cfg = cfg.replace(remat_batch_threshold=int(thresh))
-            ms, gb = time_step(cfg, bs)
+            try:
+                ms, gb = time_step(cfg, bs)
+            except Exception as e:
+                # one cell OOMing (a real verdict) must not kill the rest
+                # of the table
+                msg = str(e).splitlines()
+                oom = next((ln for ln in msg if "memory" in ln.lower()),
+                           msg[0] if msg else repr(e))
+                log(f"batch {bs} {field}={on}: FAILED: {oom[:200]}")
+                continue
             row[on] = (ms, gb)
             log(f"batch {bs} {field}={on}: {ms:.1f} ms/step, "
                 f"temp {gb:.2f} GB")
