@@ -62,7 +62,12 @@ class DepthDecoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, input_features) -> Dict:
+    def __call__(self, input_features, stop_after: Optional[int] = None
+                 ) -> Dict:
+        """stop_after=i returns right after decoder stage i (4..0) with the
+        running features under "_x" — a profiling affordance so the chip
+        harness can time cumulative stage prefixes (isolated-stage timings
+        under-count on TPU, PROFILE.md); None (production) is unchanged."""
         outputs = {}
         fold0 = (self.fold_stage0 and not self.ddv and not self.mono_conf
                  and not self.match_conv and 0 in self.scales)
@@ -74,6 +79,9 @@ class DepthDecoder(nn.Module):
         x_phase = False  # x held as 2x2 subpixel phases (half fine res)
         pending = None  # disp head deferred into the next stage's conv
         for i in range(4, -1, -1):
+            if stop_after is not None and stop_after == i + 1:
+                outputs["_x"] = x
+                return outputs
             num_ch_out = NUM_CH_DEC[i]
             if pending is not None:
                 # dispconv_{i+1} reads the same x as upconv_i_0: run both

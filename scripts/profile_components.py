@@ -155,6 +155,55 @@ def profile_infer(batch_size=128):
     return results
 
 
+def profile_decoder(batch_size=128):
+    """Cumulative decoder-stage prefixes (enc + dec stages 4..i).
+
+    The decoder is the #1 inference residual (~23 ms of 98.4 at batch
+    128, PROFILE.md roofline); per-stage DELTAS between consecutive rows
+    attribute it. Cumulative prefixes, not isolated stages: the scan
+    harness reduces outputs to a scalar, so isolated timings let XLA
+    skip materialization and under-count (PROFILE.md round-2 lesson).
+    """
+    cfg = Config()
+    models = build_models(cfg)
+    variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size))
+
+    def s(x):
+        return jnp.mean(x).astype(jnp.float32)
+
+    def enc_only(v, b):
+        f = models["mono_encoder"].apply(v["mono_encoder"], b["color"][:, 0],
+                                         False)
+        return s(f[-1])
+
+    def make_prefix(stop):
+        def fn(v, b):
+            f = models["mono_encoder"].apply(v["mono_encoder"],
+                                             b["color"][:, 0], False)
+            d = models["mono_depth"].apply(v["mono_depth"], f,
+                                           stop_after=stop)
+            acc = s(d["_x"]) if "_x" in d else 0.0
+            for k, val in d.items():
+                if isinstance(k, tuple) and k[0] == "disp":
+                    acc = acc + s(val)
+            return acc
+
+        return fn
+
+    rows = [("enc_only", enc_only)]
+    for stop in (4, 3, 2, 1, 0):
+        # stop_after=k returns right after decoder stage k (4 = coarsest)
+        rows.append((f"enc+dec_through_stage_{stop}" if stop else
+                     "enc+dec_full", make_prefix(stop if stop else None)))
+    prev = None
+    for name, fn in rows:
+        ms = scan_time(fn, variables, batch)
+        delta = "" if prev is None else f"  (delta {ms - prev:+.2f})"
+        print(f"{name}: {ms:.2f} ms @ batch {batch_size}{delta}", flush=True)
+        prev = ms
+
+
 def profile_train(batch_size=8):
     cfg = Config(batch_size=batch_size)
     models = build_models(cfg)
@@ -188,5 +237,7 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "infer"
     if mode == "infer":
         profile_infer()
+    elif mode == "decoder":
+        profile_decoder(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     else:
         profile_train(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
