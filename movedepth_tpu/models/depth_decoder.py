@@ -64,10 +64,13 @@ class DepthDecoder(nn.Module):
     @nn.compact
     def __call__(self, input_features, stop_after: Optional[int] = None
                  ) -> Dict:
-        """stop_after=i returns right after decoder stage i (4..0) with the
-        running features under "_x" — a profiling affordance so the chip
-        harness can time cumulative stage prefixes (isolated-stage timings
-        under-count on TPU, PROFILE.md); None (production) is unchanged."""
+        """stop_after=k (valid range 5..1) returns right after decoder
+        stage i = k-1 (stages run 4..0) with the running features under
+        "_x" — a profiling affordance so the chip harness can time
+        cumulative stage prefixes (isolated-stage timings under-count on
+        TPU, PROFILE.md). stop_after=0 can never match the k == i+1 check
+        and silently runs the FULL decoder including disp heads — pass
+        None (production, unchanged) for the full row instead."""
         outputs = {}
         fold0 = (self.fold_stage0 and not self.ddv and not self.mono_conf
                  and not self.match_conv and 0 in self.scales)

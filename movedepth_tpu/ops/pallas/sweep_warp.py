@@ -477,6 +477,30 @@ def _window_ladder(rw, r, c):
     return ladder + [r]
 
 
+def _ladder_plan(h, w, r, c, rw, rb, cw):
+    """The full dispatch plan: (ladder, per-rung row blocks, col window).
+
+    SHARED between `_windowed_dispatch` (which branches a lax.cond chain
+    over it) and `rung_report` (which names the taken rung) so the
+    diagnostic can never drift from the dispatch heuristic.
+
+    Per-rung row block: (a) wider rungs shrink it so M*RW*C (the
+    scoped-VMEM unit of the kernel's f32 temporaries) stays at the
+    anchored rw=16 x rb working point (sg bottoms out at 1, so
+    _stack_group alone cannot shrink M); (b) narrow rungs shrink it for
+    COVERAGE -- all rb rows share one window base, whose alignment can
+    eat align-1 (<= 3) rows, so a block's taps span rb+1+3 rows and a
+    width-8 rung only ever covers with rb <= 2 (_stack_group stacks more
+    bins instead, keeping M constant). The exact full-row level runs at
+    row_block=1: its (M, R*C) temps are the widest.
+    """
+    ladder = _window_ladder(rw, r, c)
+    rbs = [_row_block(h, max(1, min(rb * 16 // wdt, wdt - 6)))
+           for wdt in ladder]
+    rbs[-1] = 1
+    return ladder, rbs, _effective_col_window(cw, w)
+
+
 def _windowed_dispatch(call, sx_t, sy_t, r, c, rw, rb, cw=None):
     """Run ``call(window_width, row_block, col_window)`` at the narrowest
     covering window.
@@ -484,30 +508,15 @@ def _windowed_dispatch(call, sx_t, sy_t, r, c, rw, rb, cw=None):
     Widening-ladder fallback: rw -> 2*rw -> ... -> exact full row. Each
     step is a host-side coverage check (cheap VPU reductions) +
     lax.cond, so only one kernel executes; near-misses degrade gracefully
-    instead of paying the full-row contraction. The exact full-row level
-    runs at row_block=1: its (M, R*C) f32 temporaries are already at the
-    scoped-VMEM edge without the multi-row block inflation. The column
-    window (its own coverage check on sx) applies only at the narrowest
-    row rung -- the production path; every fallback rung contracts full
-    rows.
+    instead of paying the full-row contraction. The column window (its
+    own coverage check on sx) applies only at the narrowest row rung --
+    the production path; every fallback rung contracts full rows.
     """
     if rw is None or rw >= r:
         return call(r, 1, None)
-    ladder = _window_ladder(rw, r, c)
     h = sy_t.shape[1]
-    # per-rung row block: (a) wider rungs shrink it so M*RW*C (the
-    # scoped-VMEM unit of the kernel's f32 temporaries) stays at the
-    # anchored rw=16 x rb working point (sg bottoms out at 1, so
-    # _stack_group alone cannot shrink M); (b) narrow rungs shrink it for
-    # COVERAGE -- all rb rows share one window base, whose alignment can
-    # eat align-1 (<= 3) rows, so a block's taps span rb+1+3 rows and a
-    # width-8 rung only ever covers with rb <= 2 (_stack_group stacks more
-    # bins instead, keeping M constant)
-    rbs = [_row_block(h, max(1, min(rb * 16 // wdt, wdt - 6)))
-           for wdt in ladder]
-    rbs[-1] = 1  # exact full-row level: (M, R*C) temps are the widest
     w = sx_t.shape[3]
-    cw_eff = _effective_col_window(cw, w)
+    ladder, rbs, cw_eff = _ladder_plan(h, w, r, c, rw, rb, cw)
 
     def build(i):
         if i == len(ladder) - 1:
@@ -711,14 +720,11 @@ def rung_report(sx, sy, r, c, d_block: int = 8, row_window: int = 16,
         return f"exact full-row (rw=R={r}, rb=1; windowing disabled)"
     sx_t = _prep_coords(sx, db)
     sy_t = _prep_coords(sy, db)
-    ladder = _window_ladder(rw, r, c)
     h = sy_t.shape[1]
-    rbs = [_row_block(h, max(1, min(_row_block(h, row_block) * 16 // wdt,
-                                    wdt - 6)))
-           for wdt in ladder]
-    rbs[-1] = 1
     w = sx_t.shape[3]
-    cw_eff = _effective_col_window(col_window, w)
+    # the exact plan _windowed_dispatch branches over (shared helper)
+    ladder, rbs, cw_eff = _ladder_plan(h, w, r, c, rw,
+                                       _row_block(h, row_block), col_window)
     for i, wdt in enumerate(ladder):
         if i == len(ladder) - 1:
             return (f"exact full-row fallback (rw=R={r}, rb=1; "

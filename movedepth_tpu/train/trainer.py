@@ -124,6 +124,7 @@ class Trainer:
             shuffle=False, drop_last=False, num_workers=4, seed=cfg.seed)
 
         steps_per_epoch = max(1, len(self.train_loader))
+        self.steps_per_epoch = steps_per_epoch
         self.num_total_steps = steps_per_epoch * cfg.num_epochs
 
         # STATE + OPTIMIZER
@@ -169,7 +170,13 @@ class Trainer:
             C.save_config(self.log_path, cfg)
 
         self.epoch = 0
-        self.step = 0
+        # Resume continues the epoch clock: the optimizer step count lives
+        # in the TrainState (restored above), so a mid-training restore
+        # resumes at step//steps_per_epoch instead of silently restarting
+        # the z-bin schedule and checkpoint numbering at epoch 0 (the
+        # reference restarts: movedepth/trainer.py:250, and its StepLR
+        # state is a separate adam.pth callers routinely omit).
+        self.step = int(self.state.step)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self._val_iter = None
         # profiling hook (the reference has none, SURVEY.md section 5):
@@ -282,7 +289,11 @@ class Trainer:
 
     def train(self):
         cfg = self.cfg
-        for self.epoch in range(cfg.num_epochs):
+        # derive the resume epoch from the restored optimizer step (a fresh
+        # state has step 0 -> start_epoch 0); use_z / StepLR / checkpoint
+        # numbering all continue where the saved run left off.
+        start_epoch = min(self.step // self.steps_per_epoch, cfg.num_epochs)
+        for self.epoch in range(start_epoch, cfg.num_epochs):
             self.run_epoch()
             if self.rank == 0 and (self.epoch + 1) % cfg.save_frequency == 0:
                 C.save_checkpoint(self.log_path, self.state, self.epoch)

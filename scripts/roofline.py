@@ -115,28 +115,52 @@ def count(fn, *args):
 
 # ------------------------------------------------- pallas kernel accounting
 
-def sweep_impl_flops(cfg, batch, rw=None, kw=None):
+def match_channels(cfg, models, variables):
+    """FPN4 match-feature channel count at the prior scale, derived from
+    the BUILT model via eval_shape (no compute) rather than hardcoding
+    the 8 * 2**prior_scale formula -- stays correct if FPN widths change
+    (mirrors pipeline.kernel_rung_report's match0.shape[-1])."""
+    img = jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32)
+    shp = jax.eval_shape(
+        lambda v: models["mvs_encoder"].apply(v["mvs_encoder"], img,
+                                              False)[0], variables)
+    return shp.shape[-1]
+
+
+def parse_rung(report_str, h, w):
+    """(rw, kw) of the dispatched sweep rung from its rung_report string
+    (e.g. 'rw=8 rb=2 (rung 0 of [8, 16, 32, 48])' or
+    '... col window cw=384)' or 'exact full-row fallback (rw=R=48, ...')."""
+    import re
+
+    m = re.search(r"rw=(?:R=)?(\d+)", report_str)
+    rw = int(m.group(1)) if m else h
+    m = re.search(r"cw=(\d+)", report_str)
+    kw = int(m.group(1)) if m else w
+    return rw, kw
+
+
+def sweep_impl_flops(cfg, batch, c, rw=None, kw=None):
     """MXU implementation flops of ONE sweep_warp[_corr] call.
 
     The kernel's single matmul per (row-block, bin-block, x-chunk) is
     (sg*RB*XW, KW) @ (KW, RW*C); summed over the grid this is exactly
     2*B*D*H*W*KW*RW*C regardless of blocking (ops/pallas/sweep_warp.py
-    _sweep_body). KW = W unless the column-window rung dispatches.
+    _sweep_body). KW = W unless the column-window rung dispatches
+    (pass rw/kw from the actual rung via parse_rung).
     """
     h = cfg.height // 2 ** cfg.prior_scale
     w = cfg.width // 2 ** cfg.prior_scale
-    c = 8 * (2 ** cfg.prior_scale)  # FPN4 match channels at prior scale
     rw = rw or cfg.sweep_row_window or h
     kw = kw or w
     return 2 * batch * cfg.num_depth_bins * h * w * kw * rw * c
 
 
-def sweep_useful_flops(cfg, batch):
+def sweep_useful_flops(cfg, batch, c):
     """Algorithmic flops of the same call: bilinear (~11/sample) +
     correlate (2) per (bin, pixel, channel), + group mean."""
     h = cfg.height // 2 ** cfg.prior_scale
     w = cfg.width // 2 ** cfg.prior_scale
-    c = 8 * (2 ** cfg.prior_scale)
     return batch * cfg.num_depth_bins * h * w * c * 13
 
 
@@ -173,11 +197,18 @@ def main_infer(ms_arg, measure):
 
     useful, npal = count(full, variables, batch_d)
     n_frames = len(cfg.matching_ids) - 1
-    impl = sweep_impl_flops(cfg, batch, rw=cfg.sweep_row_window) * n_frames
-    useful += sweep_useful_flops(cfg, batch) * n_frames
+    c_match = match_channels(cfg, models, variables)
+    # the rung the dispatch actually takes on this batch (value-dependent)
+    hp = cfg.height // 2 ** cfg.prior_scale
+    wp = cfg.width // 2 ** cfg.prior_scale
+    rung = P.kernel_rung_report(models, variables, batch_d, cfg)
+    sweep_rungs = [v for k, v in rung.items() if k.startswith("sweep[")]
+    rw, kw = parse_rung(sweep_rungs[0], hp, wp)
+    impl = sweep_impl_flops(cfg, batch, c_match, rw=rw, kw=kw) * n_frames
+    useful += sweep_useful_flops(cfg, batch, c_match) * n_frames
     print(f"forward_infer: {npal} pallas calls in jaxpr; sweep impl flops "
-          f"assume the rw={cfg.sweep_row_window} rung (check bench.py's "
-          f"rung report)")
+          f"use the DISPATCHED rung rw={rw} kw={kw} (c={c_match}): "
+          f"{sweep_rungs[0]}")
 
     ms = ms_arg
     if measure and ms is None:
@@ -229,8 +260,9 @@ def main_infer(ms_arg, measure):
         lambda v, c: models["reg3d"].apply(v["reg3d"], c, False),
         variables, cor)
     report("reg3d", u, batch)
-    report("sweep kernel (impl, per frame)", sweep_useful_flops(cfg, batch),
-           batch, None, sweep_impl_flops(cfg, batch))
+    report("sweep kernel (impl, per frame)",
+           sweep_useful_flops(cfg, batch, c_match),
+           batch, None, sweep_impl_flops(cfg, batch, c_match, rw=rw, kw=kw))
 
 
 def main_train(bs, ms_arg, measure):

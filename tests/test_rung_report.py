@@ -46,6 +46,50 @@ def test_sweep_rung_report_col_window():
     assert "col window" in r, r
 
 
+def test_sweep_rung_report_matches_dispatch():
+    """The reported rung must be the configuration `_windowed_dispatch`
+    actually executes (ADVICE r3 medium: both now read the shared
+    `_ladder_plan`). A value-recording stub rides the real lax.cond
+    chain: every branch returns its (rw, rb, cw) encoded as an array, so
+    the selected branch's configuration comes back as data."""
+    r = c = 32
+    rng = np.random.default_rng(2)
+    sx0, sy0 = _identityish_coords(w=256)
+    cases = [
+        (sx0, sy0),                                      # narrow rung
+        (sx0, sy0 + jnp.asarray(rng.uniform(0, 6, sy0.shape),
+                                jnp.float32)),           # mid rung
+        (sx0, jnp.asarray(rng.uniform(0, 31, sy0.shape),
+                          jnp.float32)),                 # full-row fallback
+    ]
+    for col_window in (None, 128):
+        for sx, sy in cases:
+            report = SW.rung_report(sx, sy, r, c, row_window=8,
+                                    col_window=col_window)
+            db = min(8, sx.shape[1])
+            sx_t = SW._prep_coords(sx, db)
+            sy_t = SW._prep_coords(sy, db)
+            rw = SW._effective_window(8, r, c)
+            rb = SW._row_block(sy_t.shape[1], 4)
+
+            def record(wdt, rbw, colw):
+                return jnp.array(
+                    [wdt, rbw, -1 if colw is None else colw], jnp.int32)
+
+            got = SW._windowed_dispatch(record, sx_t, sy_t, r, c, rw, rb,
+                                        col_window)
+            wdt, rbw, colw = (int(v) for v in np.asarray(got))
+            if "exact full-row" in report:
+                assert wdt == r and rbw == 1, (report, wdt, rbw)
+            else:
+                assert report.startswith(f"rw={wdt} rb={rbw}"), (
+                    report, wdt, rbw)
+            if colw >= 0:
+                assert f"cw={colw}" in report, (report, colw)
+            else:
+                assert "cw=" not in report, (report, colw)
+
+
 def test_warp_rung_report_names_a_rung():
     b, h, w = 1, 32, 128
     src = jnp.asarray(np.random.default_rng(0).uniform(

@@ -62,12 +62,37 @@ def test_trainer_end_to_end(kitti_tree):
 
 
 def test_trainer_resume_from_checkpoint(kitti_tree):
+    """Resume continues the epoch clock: a state saved after 2 epochs
+    (step 4) restored into a 4-epoch run trains epochs 2..3 only, keeps
+    the z-bin schedule epoch-accurate, and numbers checkpoints from
+    where the saved run left off (the reference restarts at epoch 0,
+    movedepth/trainer.py:250)."""
     tmp_path, splits = kitti_tree
     cfg = make_cfg(tmp_path)
     last = os.path.join(str(tmp_path / "log"), "t", "models", "last")
-    cfg = cfg.replace(load_weights_folder=last, model_name="t2")
+    cfg = cfg.replace(load_weights_folder=last, model_name="t2",
+                      num_epochs=4, ztrans_start_epc=2, save_frequency=1)
     trainer = Trainer(cfg, split_dir=splits)
     assert int(trainer.state.step) == 4  # restored optimizer step
+    assert trainer.step == 4
+
+    seen_use_z = []
+    orig_step = trainer.train_step
+
+    def spy(state, batch, rng, use_z):
+        seen_use_z.append(bool(use_z))
+        return orig_step(state, batch, rng, use_z)
+
+    trainer.train_step = spy
+    trainer.train()
+    assert int(trainer.state.step) == 8  # 2 more epochs x 2 steps
+    assert trainer.epoch == 3
+    # epoch 2: use_z False (2 > ztrans_start_epc=2 is False); epoch 3: True
+    assert seen_use_z == [False, False, True, True]
+    models_dir = os.path.join(trainer.log_path, "models")
+    assert os.path.isdir(os.path.join(models_dir, "weights_2"))
+    assert os.path.isdir(os.path.join(models_dir, "weights_3"))
+    assert not os.path.isdir(os.path.join(models_dir, "weights_0"))
 
 
 def test_trainer_mono_warm_start(kitti_tree):
