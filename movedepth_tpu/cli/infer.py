@@ -72,7 +72,7 @@ def _save_outputs(out_dir, name, depth, png: bool):
 
 
 def run(cfg: Config, image_path: str, out_dir: str, mono: bool, png: bool,
-        K_override=None):
+        K_override=None, fused: bool = False):
     files = sorted(
         f for f in os.listdir(image_path)
         if f.lower().endswith(IMG_EXTS))
@@ -87,7 +87,13 @@ def run(cfg: Config, image_path: str, out_dir: str, mono: bool, png: bool,
     invK = np.linalg.inv(K)
 
     mono_fn = jax.jit(lambda v, b: P.forward_mono_infer(models, v, b, cfg))
-    mvs_fn = jax.jit(lambda v, b: P.forward_infer(models, v, b, cfg))
+    # --fused: the learned mono/MVS blend via mask_cnn on the cost-volume
+    # entropy (BASELINE config 3) -- the depth users actually train; the
+    # reference has no way to produce it (mask_cnn unused at eval,
+    # reference: movedepth/evaluate_depth.py:170-174)
+    infer_fn = P.forward_infer_fused if fused else P.forward_infer
+    mvs_fn = jax.jit(lambda v, b: infer_fn(models, v, b, cfg))
+    depth_key = "depth_fused" if fused else "depth_mvs"
 
     prev = None
     for i, fname in enumerate(files):
@@ -110,7 +116,7 @@ def run(cfg: Config, image_path: str, out_dir: str, mono: bool, png: bool,
                 "inv_K": jnp.asarray(invK)[None],
             }
             out = mvs_fn(variables, batch)
-            depth = np.asarray(out["depth_mvs"][0])
+            depth = np.asarray(out[depth_key][0])
         _save_outputs(out_dir, name, depth, png)
         prev = img
         print(f"[{i + 1}/{len(files)}] {name}: "
@@ -126,6 +132,9 @@ def main(argv=None):
     parser.add_argument("--out_dir", type=str, default="depth_out")
     parser.add_argument("--mono_only", action="store_true",
                         help="single-frame mono depth only")
+    parser.add_argument("--fused", action="store_true",
+                        help="emit the learned mono/MVS fused depth "
+                             "(mask_cnn uncertainty blend)")
     parser.add_argument("--save_png", action="store_true",
                         help="also save colormapped disparity PNGs")
     for k in ("fx", "fy", "cx", "cy"):
@@ -138,7 +147,7 @@ def main(argv=None):
         K = _normalized_kitti_K(cfg.height, cfg.width, args.fx, args.fy,
                                 args.cx, args.cy)
     run(cfg, args.image_path, args.out_dir, args.mono_only,
-        args.save_png, K)
+        args.save_png, K, fused=args.fused)
 
 
 if __name__ == "__main__":

@@ -78,8 +78,11 @@ def predict_disparities(variables, cfg: Config, data_path: str,
                         num_workers: int = 8, limit: Optional[int] = None):
     """Run full-MVS inference over the eval split.
 
-    Returns (pred_disps_mono, pred_disps_mvs) as (N, H, W) numpy arrays
-    (reference: evaluate_depth.py:176-256).
+    Returns (pred_disps_mono, pred_disps_mvs, pred_disps_fused) as
+    (N, H, W) numpy arrays (reference: evaluate_depth.py:176-256). The
+    fused channel is the LEARNED mono/MVS blend (mask_cnn on the
+    cost-volume entropy) the reference trains but never evaluates
+    (it loads mask_cnn and drops it, evaluate_depth.py:170-174).
     """
     filenames = readlines(os.path.join(split_dir, "test_files.txt"))
     if limit:
@@ -95,44 +98,53 @@ def predict_disparities(variables, cfg: Config, data_path: str,
 
     @jax.jit
     def infer(variables, batch):
-        out = P.forward_infer(models, variables, batch, cfg)
-        return out["disp_mono"], 1.0 / out["depth_mvs"]
+        out = P.forward_infer_fused(models, variables, batch, cfg)
+        return out["disp_mono"], 1.0 / out["depth_mvs"], out["disp_fused"]
 
     @jax.jit
     def infer_flipped(variables, batch):
         fb = dict(batch)
         fb["color"] = batch["color"][..., ::-1, :]
-        out = P.forward_infer(models, variables, fb, cfg)
-        return out["disp_mono"][..., ::-1], (1.0 / out["depth_mvs"])[..., ::-1]
+        out = P.forward_infer_fused(models, variables, fb, cfg)
+        return (out["disp_mono"][..., ::-1],
+                (1.0 / out["depth_mvs"])[..., ::-1],
+                out["disp_fused"][..., ::-1])
 
-    monos, mvss = [], []
+    monos, mvss, fuseds = [], [], []
     for batch in loader.epoch(0):
         jb = jax.tree.map(jnp.asarray, batch)
-        dm, dz = infer(variables, jb)
-        dm, dz = np.asarray(dm), np.asarray(dz)
+        dm, dz, df = infer(variables, jb)
+        dm, dz, df = np.asarray(dm), np.asarray(dz), np.asarray(df)
         if cfg.post_process:
             # monodepth-v1 flip blending; the reference parses the flag but
             # never applies it (SURVEY.md 2.2) -- functional here
-            dmf, dzf = infer_flipped(variables, jb)
+            dmf, dzf, dff = infer_flipped(variables, jb)
             dm = batch_post_process_disparity(dm, np.asarray(dmf))
             dz = batch_post_process_disparity(dz, np.asarray(dzf))
+            df = batch_post_process_disparity(df, np.asarray(dff))
         monos.append(dm)
         mvss.append(dz)
-    return np.concatenate(monos, 0), np.concatenate(mvss, 0)
+        fuseds.append(df)
+    return (np.concatenate(monos, 0), np.concatenate(mvss, 0),
+            np.concatenate(fuseds, 0))
 
 
 def evaluate_disparities(pred_disps_mono, pred_disps_mvs, gt_depths,
                          eval_split: str = "eigen",
                          disable_median_scaling: bool = False,
-                         pred_depth_scale_factor: float = 1.0):
+                         pred_depth_scale_factor: float = 1.0,
+                         pred_disps_fused=None):
     """Host-side metric computation over predicted disparities.
 
     (reference: evaluate_depth.py:259-314)
-    Returns dict with 'mono', 'mvs', 'upbound' 7-metric arrays.
+    Returns dict with 'mono', 'mvs', 'upbound' 7-metric arrays, plus
+    'fused' (the learned mask_cnn blend, same per-image protocol) when
+    ``pred_disps_fused`` is given -- a row the reference cannot print
+    (its eval never calls mask_cnn, evaluate_depth.py:170-174).
     """
     import cv2
 
-    errs_mono, errs_mvs, errs_fuse = [], [], []
+    errs_mono, errs_mvs, errs_fuse, errs_learned = [], [], [], []
     for i in range(pred_disps_mono.shape[0]):
         gt = gt_depths[i]
         gh, gw = gt.shape[:2]
@@ -155,15 +167,28 @@ def evaluate_disparities(pred_disps_mono, pred_disps_mvs, gt_depths,
         errs_mvs.append(compute_errors_np(g, pz))
         errs_fuse.append(compute_fuse_errors_np(g, pm, pz))
 
-    return {
+        if pred_disps_fused is not None:
+            df = cv2.resize(pred_disps_fused[i], (gw, gh))
+            pf = (1.0 / df)[mask] * pred_depth_scale_factor
+            if not disable_median_scaling:
+                pf *= np.median(g) / np.median(pf)
+            pf = np.clip(pf, MIN_DEPTH, MAX_DEPTH)
+            errs_learned.append(compute_errors_np(g, pf))
+
+    results = {
         "mono": np.stack(errs_mono).mean(0),
         "mvs": np.stack(errs_mvs).mean(0),
         "upbound": np.stack(errs_fuse).mean(0),
     }
+    if errs_learned:
+        results["fused"] = np.stack(errs_learned).mean(0)
+    return results
 
 
 def print_tables(results: Dict[str, np.ndarray], file=sys.stdout):
-    for name in ("mono", "mvs", "upbound"):
+    for name in ("mono", "mvs", "fused", "upbound"):
+        if name not in results:
+            continue
         print(f"{name} results:", file=file)
         print(("{:>8} | " * 7).format(*METRIC_NAMES), file=file)
         print(("&{: 8.3f}  " * 7).format(*results[name].tolist()) + "\\\\",
@@ -175,8 +200,8 @@ def evaluate(variables, cfg: Config, data_path: str, split_dir: str,
              gt_path: Optional[str] = None, batch_size: int = 1,
              limit: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Full protocol: inference + GT comparison + tables."""
-    mono, mvs = predict_disparities(variables, cfg, data_path, split_dir,
-                                    batch_size, limit=limit)
+    mono, mvs, fused = predict_disparities(variables, cfg, data_path,
+                                           split_dir, batch_size, limit=limit)
     gt_path = gt_path or os.path.join(split_dir, "gt_depths.npz")
     gt = np.load(gt_path, fix_imports=True, encoding="latin1",
                  allow_pickle=True)["data"]
@@ -184,6 +209,7 @@ def evaluate(variables, cfg: Config, data_path: str, split_dir: str,
         gt = gt[:limit]
     results = evaluate_disparities(mono, mvs, gt, cfg.eval_split,
                                    cfg.disable_median_scaling,
-                                   cfg.pred_depth_scale_factor)
+                                   cfg.pred_depth_scale_factor,
+                                   pred_disps_fused=fused)
     print_tables(results)
     return results

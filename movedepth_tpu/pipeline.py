@@ -354,12 +354,13 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
     gather per source frame (shared corner table), and SSIM/L1 run over
     the folded (B*K) batch, cutting kernel count ~6x.
 
-    With ``cfg.planar_losses`` (the default) the whole SSIM/L1/automask/
-    smoothness chain additionally runs on the folded-planar layout
-    (ops/layout.py): channels in sublanes, W in lanes -- NHWC's C=3 lane
-    dim pads 42x on TPU and the loss maps' trailing 1 pads 128x, so the
-    dense form is the difference between the VPU running at a few percent
-    and at full rate. Identical math (parity test:
+    With ``cfg.planar_losses`` (a tested OPTION; default False -- the
+    chip A/B measured the NHWC form 4-19% faster because XLA already
+    fuses the SSIM/L1 chain into the warp epilogue and the fold adds
+    reshape traffic on the backward, PROFILE.md 2026-08-19) the whole
+    SSIM/L1/automask/smoothness chain instead runs on the folded-planar
+    layout (ops/layout.py): channels in sublanes, W in lanes. Identical
+    math (parity test:
     tests/test_pipeline.py::test_photometric_losses_planar_parity).
 
     Pose gradients: live T for the mono scales, detached T for MVS/fused
@@ -920,6 +921,37 @@ def forward_infer(models, variables, batch, cfg: Config):
     }
 
 
+def forward_infer_fused(models, variables, batch, cfg: Config):
+    """Fused-depth inference (BASELINE.json config 3): mono + MVS depth
+    blended by the learned cost-volume uncertainty head.
+
+    The reference LOADS mask_cnn at eval but never calls it
+    (reference: movedepth/evaluate_depth.py:170-174) -- its eval "fuse"
+    table is an oracle best-of-two. This surfaces the fusion users
+    actually train: the train-time chain entropy -> mask_cnn -> trust map
+    -> blend (forward_train steps 9, mirroring trainer.py:366-370,411-416)
+    without the stop-gradients (inference has no gradients to isolate).
+
+    Returns forward_infer's dict plus trust_mono (B, H, W),
+    depth_fused / disp_fused at full resolution.
+    """
+    out = forward_infer(models, variables, batch, cfg)
+    h, w = batch["color"].shape[2], batch["color"].shape[3]
+
+    ent = entropy(out["cost_prob"], axis=1, keepdims=True)  # (B, 1, h, w)
+    trust, _ = _apply(models, variables, "mask_cnn",
+                      jnp.transpose(ent, (0, 2, 3, 1)))
+    trust_full = resize_bilinear(trust[..., 0], (h, w), align_corners=True)
+
+    depth_mvs = out["depth_mvs"]
+    if depth_mvs.shape[-2:] != (h, w):  # convex_up off: bilinear, like train
+        depth_mvs = resize_bilinear(depth_mvs, (h, w), align_corners=True)
+    mono_depth0 = 1.0 / out["disp_mono"]  # disp_to_depth's depth
+    fused = (1.0 - trust_full) * depth_mvs + trust_full * mono_depth0
+    return dict(out, trust_mono=trust_full, depth_fused=fused,
+                disp_fused=1.0 / fused)
+
+
 def kernel_rung_report(models, variables, batch, cfg: Config):
     """Name the Pallas ladder rungs this batch's coordinates dispatch to.
 
@@ -968,17 +1000,30 @@ def kernel_rung_report(models, variables, batch, cfg: Config):
             row_window=cfg.sweep_row_window or None,
             col_window=cfg.sweep_col_window or None)
 
-    # the train path's full-res photometric warp (scale-0 mono depth)
+    # The train path's full-res photometric warp. Probe with the SAME
+    # K-stacked (B, K=num_scales+2, H, W) depth layout photometric_losses'
+    # _frame_block warps in one call (db=K) -- the rung coverage check
+    # runs over the whole stacked axis, so a d=1 probe could name a
+    # narrower rung than the train step actually takes. The MVS and fused
+    # slots are approximated by the scale-0 mono depth (both are
+    # refinements of it; this is a train-path probe, bench.py times
+    # INFERENCE where this warp never runs).
     hf, wf = color.shape[2], color.shape[3]
-    _, d0 = disp_to_depth(disps[("disp", 0)][..., 0], cfg.min_depth,
-                          cfg.max_depth)
+    depth_scales = []
+    for sc in cfg.scales:
+        dfull = resize_bilinear(disps[("disp", sc)], (hf, wf),
+                                align_corners=False)
+        _, dsc = disp_to_depth(dfull[..., 0], cfg.min_depth, cfg.max_depth)
+        depth_scales.append(dsc)
+    depth_all = jnp.stack(depth_scales + [depth_scales[0]] * 2, axis=1)
+    k_all = depth_all.shape[1]
     f = cfg.matching_ids[1]
-    pts = backproject(d0[:, None], batch["inv_K"][:, None])
+    pts = backproject(depth_all, batch["inv_K"][:, None])
     grid = project(pts, batch["K"][:, None], cam_T_cam[f][:, None], hf, wf)
-    sx, sy = SW.grid_to_pixel(grid[:, 0], hf, wf)
-    report[f"image_warp[frame {f}, scale 0]"] = IW.warp_rung_report(
-        color[:, fid_to_idx[f]], sx[:, None], sy[:, None],
-        col_window=cfg.warp_col_window)
+    sx, sy = SW.grid_to_pixel(grid, hf, wf)
+    report[f"image_warp[frame {f}, train-path K={k_all}]"] = (
+        IW.warp_rung_report(color[:, fid_to_idx[f]], sx, sy,
+                            col_window=cfg.warp_col_window))
     return report
 
 

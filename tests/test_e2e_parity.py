@@ -470,6 +470,40 @@ def test_eval_forward_parity(setup):
                                ref["disp_mvs"].numpy(), atol=1e-4)
 
 
+def test_eval_fused_forward_parity(setup):
+    """forward_infer_fused (BASELINE config 3: the learned mask_cnn blend
+    at inference) vs the torch oracle. The reference has no such surface
+    (mask_cnn loaded-but-unused at eval, evaluate_depth.py:170-174); the
+    oracle applies the TRAIN-time fusion chain (trainer.py:366-370,
+    411-416) to the eval forward's cost volume, which is exactly what
+    forward_infer_fused implements."""
+    models, variables, batch, inputs, fresh = setup
+    tm = fresh()
+    for m in tm.values():
+        m.eval()
+    ref = oracle_eval_forward(tm, inputs, CFG)
+    with torch.no_grad():
+        trust = tm["mask_cnn"](t_entropy(ref["cost_prob"]))
+        trust = F.interpolate(trust, [CFG.height, CFG.width],
+                              mode="bilinear", align_corners=True)[:, 0]
+        depth_mvs = 1.0 / ref["disp_mvs"]
+        mono_depth = 1.0 / ref["disp_mono"]
+        fused = (1 - trust) * depth_mvs + trust * mono_depth
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("color_aug",)}
+    jbatch["color"] = jnp.asarray(batch["color"])
+    ours = jax.jit(
+        lambda v, b: P.forward_infer_fused(models, v, b, CFG))(variables,
+                                                               jbatch)
+    np.testing.assert_allclose(np.asarray(ours["trust_mono"]),
+                               trust.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["depth_fused"]),
+                               fused.numpy(), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours["disp_fused"]),
+                               (1.0 / fused).numpy(), rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("use_z", [False, True])
 @pytest.mark.parametrize("planar", [True, False])
 def test_train_forward_parity(setup, use_z, planar):

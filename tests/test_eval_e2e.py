@@ -49,7 +49,7 @@ def test_evaluate_end_to_end(eval_tree):
     variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
 
     results = evaluate(variables, cfg, data_path, split_dir, batch_size=1)
-    for name in ("mono", "mvs", "upbound"):
+    for name in ("mono", "mvs", "fused", "upbound"):
         r = results[name]
         assert r.shape == (7,)
         assert np.isfinite(r).all()
@@ -65,10 +65,18 @@ def test_predict_disparities_shapes(eval_tree):
                  compute_dtype="float32", num_workers=2)
     models = build_models(cfg)
     variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
-    mono, mvs = predict_disparities(variables, cfg, data_path, split_dir,
-                                    batch_size=2)
+    mono, mvs, fused = predict_disparities(variables, cfg, data_path,
+                                           split_dir, batch_size=2)
     assert mono.shape == (2, 64, 96) and mvs.shape == (2, 64, 96)
+    assert fused.shape == (2, 64, 96)
     assert (mvs > 0).all() and np.isfinite(mono).all()
+    assert (fused > 0).all()
+    # the learned blend lies between its two branches pointwise, so its
+    # DEPTH is bounded by min/max of mono depth and mvs depth
+    dmono, dmvs, dfused = 1.0 / mono, 1.0 / mvs, 1.0 / fused
+    lo = np.minimum(dmono, dmvs) - 1e-4
+    hi = np.maximum(dmono, dmvs) + 1e-4
+    assert ((dfused >= lo) & (dfused <= hi)).all()
 
 
 def test_parity_eval_script(eval_tree, tmp_path):
@@ -129,7 +137,8 @@ def test_predict_disparities_post_process(eval_tree):
                  compute_dtype="float32", num_workers=2, post_process=True)
     models = build_models(cfg)
     variables = S.init_variables(models, cfg, jax.random.PRNGKey(0))
-    mono, mvs = predict_disparities(variables, cfg, data_path, split_dir,
-                                    batch_size=2)
+    mono, mvs, fused = predict_disparities(variables, cfg, data_path,
+                                           split_dir, batch_size=2)
     assert mono.shape == (2, 64, 96)
     assert np.isfinite(mono).all() and np.isfinite(mvs).all()
+    assert np.isfinite(fused).all()
