@@ -68,6 +68,47 @@ def bench_pil(paths, repeats=3):
     return len(paths) / best
 
 
+def bench_native_jittered(paths, threads, repeats=3):
+    """The TRAIN path for augmented samples: C++ decode+pyramid, then the
+    float-vectorized color_jitter_np (data/kitti.py) on scale 0."""
+    from movedepth_tpu.data.kitti import color_jitter_np
+
+    best = float("inf")
+    for r in range(repeats):
+        rng = np.random.default_rng(r)
+        t0 = time.perf_counter()
+        outs = native_loader.load_batch(paths, 640, 192, num_scales=4,
+                                        num_threads=threads)
+        jit = color_jitter_np(rng)
+        for img in outs[0]:
+            jit(img)
+        best = min(best, time.perf_counter() - t0)
+    return len(paths) / best
+
+
+def bench_pil_jittered(paths, repeats=3):
+    """The old PIL train path for augmented samples (decode + pyramid +
+    ImageEnhance jitter on the scale-0 image)."""
+    from PIL import Image
+
+    from movedepth_tpu.data.kitti import color_jitter
+
+    best = float("inf")
+    for r in range(repeats):
+        rng = np.random.default_rng(r)
+        jit = color_jitter(rng)
+        t0 = time.perf_counter()
+        for p in paths:
+            im = Image.open(p).convert("RGB")
+            for s in range(4):
+                im = im.resize((640 >> s, 192 >> s), Image.LANCZOS)
+                if s == 0:
+                    np.asarray(jit(im), np.float32)
+                np.asarray(im, np.float32)
+        best = min(best, time.perf_counter() - t0)
+    return len(paths) / best
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else os.cpu_count()
@@ -76,10 +117,15 @@ def main():
         if native_loader.available():
             r = bench_native(paths, threads)
             print(f"native ({threads} threads): {r:.1f} images/s")
+            r = bench_native_jittered(paths, threads)
+            print(f"native + numpy jitter (train path): {r:.1f} images/s")
         else:
             print("native loader unavailable")
         r = bench_pil(paths)
         print(f"PIL fallback (1 thread): {r:.1f} images/s")
+        r = bench_pil_jittered(paths)
+        print(f"PIL + ImageEnhance jitter (old train path): "
+              f"{r:.1f} images/s")
 
 
 if __name__ == "__main__":
