@@ -184,23 +184,29 @@ def t_compute_loss_masks(reproj, ident):
 
 # ----------------------------------------------------------- oracle forwards
 
-def oracle_eval_forward(tm, inputs, cfg):
+def oracle_eval_forward(tm, inputs, cfg, rel_override=None):
     """reference: movedepth/evaluate_depth.py:181-253 (per-sample z, see
-    module docstring)."""
+    module docstring). ``rel_override`` (B,M,4,4) skips the pose nets --
+    the load_pose branch (precomputed DVSO poses; reference:
+    datasets/mono_dataset.py:90-101,188-191)."""
     with torch.no_grad():
         color0 = inputs[("color", 0, 0)]
         disps = tm["mono_depth"](tm["mono_encoder"](color0))
 
-        rel = []
-        for fi in cfg.matching_ids[1:]:
-            if fi < 0:
-                pair = [inputs[("color", fi, 0)], color0]
-            else:
-                pair = [color0, inputs[("color", fi, 0)]]
-            aa, tr = tm["pose"](tm["pose_encoder"](torch.cat(pair, 1))[-1])
-            rel.append(torch_transformation(aa[:, 0], tr[:, 0],
-                                            invert=fi < 0))
-        rel = torch.stack(rel, 1)  # B,M,4,4
+        if rel_override is not None:
+            rel = rel_override
+        else:
+            rel = []
+            for fi in cfg.matching_ids[1:]:
+                if fi < 0:
+                    pair = [inputs[("color", fi, 0)], color0]
+                else:
+                    pair = [color0, inputs[("color", fi, 0)]]
+                aa, tr = tm["pose"](
+                    tm["pose_encoder"](torch.cat(pair, 1))[-1])
+                rel.append(torch_transformation(aa[:, 0], tr[:, 0],
+                                                invert=fi < 0))
+            rel = torch.stack(rel, 1)  # B,M,4,4
 
         ref_match, ref_ctx = tm["mvs_encoder"](color0)
         src_matches = [tm["mvs_encoder"](inputs[("color", fi, 0)])[0]
@@ -468,6 +474,50 @@ def test_eval_forward_parity(setup):
                                ref["cost_prob"].numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ours["disp_mvs"]),
                                ref["disp_mvs"].numpy(), atol=1e-4)
+
+
+def test_eval_forward_parity_load_pose(setup):
+    """The load_pose branch (poses from the dataset instead of PoseNet;
+    reference: datasets/mono_dataset.py:90-101, trainer predict_poses'
+    relative_pose path) -- identical precomputed poses injected on both
+    sides, pinning the rest of the composition under that branch."""
+    models, variables, batch, inputs, fresh = setup
+    tm = fresh()
+    for m in tm.values():
+        m.eval()
+
+    # realistic near-identity forward motion per matching frame
+    rng = np.random.default_rng(21)
+    m_frames = len(CFG.matching_ids) - 1
+    aa = rng.normal(0, 5e-3, (B, m_frames, 3)).astype(np.float32)
+    tr = rng.normal(0, 3e-2, (B, m_frames, 3)).astype(np.float32)
+    tr[:, :, 2] -= 0.1  # dominant z-translation, KITTI-style
+    rel = torch.stack(
+        [torch_transformation(torch.from_numpy(aa[:, i:i + 1]),
+                              torch.from_numpy(tr[:, i:i + 1]),
+                              invert=False)
+         for i in range(m_frames)], 1)
+
+    ref = oracle_eval_forward(tm, inputs, CFG, rel_override=rel)
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("color_aug",)}
+    jbatch["color"] = jnp.asarray(batch["color"])
+    # frame_ids == matching_ids inside forward_infer, so relative_pose is
+    # keyed in matching_ids[1:] order
+    jbatch["relative_pose"] = jnp.asarray(rel.numpy())
+    ours = jax.jit(lambda v, b: P.forward_infer(
+        models, v, b, CFG.replace(load_pose=True)))(variables, jbatch)
+
+    np.testing.assert_allclose(np.asarray(ours["disp_mono"]),
+                               ref["disp_mono"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours["cost_prob"]),
+                               ref["cost_prob"].numpy(), atol=1e-4)
+    # disp_mvs is O(70) here (the injected near-identity z-motion collapses
+    # the z-scaled bins toward min_depth), so tolerance is relative
+    np.testing.assert_allclose(np.asarray(ours["disp_mvs"]),
+                               ref["disp_mvs"].numpy(), rtol=1e-5,
+                               atol=1e-4)
 
 
 def test_eval_fused_forward_parity(setup):

@@ -24,6 +24,30 @@ def test_eigen_mask_crop():
     assert not E.eigen_mask(gt2)[200, 600]
 
 
+def test_batch_post_process_disparity_golden(rng):
+    """Our flip post-processing vs a literal torch restatement of the
+    reference formula (evaluate_depth.py:67-75): l/r ramp masks blending
+    the mean disparity -- a branch the reference defines but never calls
+    (its --post_process flag is parsed and dropped, SURVEY.md 2.2)."""
+    import torch
+
+    l = rng.uniform(0.01, 1.0, (3, 96, 320)).astype(np.float32)
+    r = rng.uniform(0.01, 1.0, (3, 96, 320)).astype(np.float32)
+
+    tl, tr_ = torch.from_numpy(l), torch.from_numpy(r)
+    _, h, w = tl.shape
+    m = 0.5 * (tl + tr_)
+    grid = torch.from_numpy(
+        np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))[0]
+        .astype(np.float32))
+    lm = (1.0 - torch.clamp(20 * (grid - 0.05), 0, 1))[None]
+    rm = torch.flip(lm, dims=[2])
+    ref = rm * tl + lm * tr_ + (1.0 - lm - rm) * m
+
+    ours = E.batch_post_process_disparity(l, r)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-6, atol=1e-7)
+
+
 def test_evaluate_disparities_perfect_prediction(rng):
     h, w = 94, 311
     gts = []
