@@ -162,6 +162,26 @@ class Config:
     remat_scope: str = "full"
     # robust training: random frame offsets (reference: mono_dataset rt flag)
     robust_train: bool = False
+    # which cost-volume axis the mesh 'model' axis shards (tensor
+    # parallelism the reference cannot express; no-op when the active
+    # mesh has model=1). Audited with scripts/dump_sharded_hlo.py on a
+    # virtual (data=4, model=2) mesh, 2026-08-19 (per-step collective
+    # traffic of the whole train step; grad all-reduce ~172 MB in all):
+    #   "groups" (default): shard the correlation-group (channel) axis.
+    #       Least traffic (all-gather 2.4 MB + permute 3.4 MB): GSPMD
+    #       re-gathers the per-data-shard volume (0.39 MB each) at
+    #       Reg3D's first channel-contracting conv and shards the rest.
+    #   "depth": shard the D hypothesis axis -- all-gather 8.3 MB +
+    #       permute 6.0 MB; GSPMD un-shards D before Reg3D (conv-spatial
+    #       but too small to halo-partition).
+    #   "height": spatial H partitioning -- REJECTED: the constraint
+    #       propagates through the whole graph (all-gather 126 MB,
+    #       permute 19 MB, 832 halo ops).
+    #   "none": replicate the volume over the model axis.
+    # In every variant the sweep/correlation compute upstream stays fully
+    # sharded; the model axis is a capability demonstration at this model
+    # size -- DP is the recommended deployment strategy (SURVEY.md 2.4).
+    model_shard_axis: str = "groups"
 
     # ---- loading (reference: options.py:242-251) ----
     load_weights_folder: Optional[str] = None

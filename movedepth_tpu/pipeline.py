@@ -149,6 +149,21 @@ def poses_from_batch(batch, cfg: Config):
 
 # ---------------------------------------------------------------- MVS branch
 
+def _constrain_volume(cor, cfg: Config):
+    """Shard the (B, D, H, W, G) cost volume over the mesh: batch on
+    'data', plus the cfg.model_shard_axis dimension on 'model' (tensor
+    parallelism the reference cannot express; no-op without an active
+    mesh / with model=1). Axis choice audited by
+    scripts/dump_sharded_hlo.py -- see config.model_shard_axis."""
+    spec = {
+        "height": ("data", None, "model"),
+        "depth": ("data", "model"),
+        "groups": ("data", None, None, None, "model"),
+        "none": ("data",),
+    }[cfg.model_shard_axis]
+    return constrain(cor, *spec)
+
+
 def _use_pallas_warp(cfg: Config, train: bool) -> bool:
     """The fused Pallas warp serves both paths on TPU (custom VJP supplies
     the src-feature gradient as transposed one-hot matmuls)."""
@@ -199,9 +214,7 @@ def mvs_depth_from_features(models, variables, ref_match_feat,
             )
         costs.append(reduce_cost_groups(cv, cfg.reg3d_c))
     cor = fuse_frames(costs, weight_axis=weight_axis)  # (B, D, h, w, G)
-    # Optional tensor parallelism: shard the depth-hypothesis axis over the
-    # mesh 'model' axis (no-op without an active mesh / with model=1).
-    cor = constrain(cor, "data", "model")
+    cor = _constrain_volume(cor, cfg)
 
     logits, bs = _apply(models, variables, "reg3d", cor, train=train)
     cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
@@ -263,7 +276,7 @@ def mvs_depth_two_pass(models, variables, ref_a, ref_b, src_match_feats,
         updates = {}
         out = []
         for cor in (fuse_frames(costs_a), fuse_frames(costs_b)):
-            cor = constrain(cor, "data", "model")
+            cor = _constrain_volume(cor, cfg)
             logits, bs = _apply(models, variables, "reg3d", cor,
                                 train=train)
             cost_prob = jax.nn.softmax(logits, axis=1)  # (B, D, h, w)
@@ -302,8 +315,10 @@ def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
 
 # ----------------------------------------------------------------- loss core
 
-def _multi_warp(src, grid, use_pallas=False, col_window=384):
-    """Warp one source image stack with K grids each: (B, K, H, W, 3).
+def _multi_warp(src, grid, use_pallas=False, col_window=384, folded=False):
+    """Warp one source image stack with K grids each: (B, K, H, W, 3),
+    or -- with ``folded`` -- the kernel-native folded-planar layout
+    (B, K, H*4, W) (ops/layout.py; cp=4, pad channel zero).
 
     On TPU (``use_pallas``) this is the one-hot MXU kernel with a custom
     coordinate VJP (ops/pallas/image_warp.py) -- the depth/pose training
@@ -320,7 +335,13 @@ def _multi_warp(src, grid, use_pallas=False, col_window=384):
         from movedepth_tpu.ops.pallas.sweep_warp import grid_to_pixel
         h, w = src.shape[1], src.shape[2]
         sx, sy = grid_to_pixel(grid, h, w)
-        return warp_images_border(src, sx, sy, col_window=col_window)
+        return warp_images_border(src, sx, sy, col_window=col_window,
+                                  fold_out=folded)
+    if folded:
+        from movedepth_tpu.ops.layout import fold_image
+        return fold_image(
+            _multi_warp(src, grid, use_pallas=False,
+                        col_window=col_window), 4)
     b = src.shape[0]
     chunk = max(d for d in range(1, min(8, b) + 1) if b % d == 0)
 
@@ -416,15 +437,32 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         # gather formulation is ROW-RATE-bound on TPU (~127M rows/s), so
         # on TPU they run as the border-mode one-hot MXU kernel with a
         # custom coordinate VJP (ops/pallas/image_warp.py).
-        warped = _multi_warp(src, grid, use_pallas=use_pl,
-                             col_window=cfg.warp_col_window)
-        wf = warped.reshape(b * k_all, h, w, 3)
-        tf = jnp.broadcast_to(target[:, None],
-                              (b, k_all, h, w, 3)).reshape(wf.shape)
-        rp, l1 = _reproj(wf, tf) if remat else jax.checkpoint(_reproj)(wf,
-                                                                       tf)
-        return (rp.reshape(b, k_all, h, w, 1),
-                l1.reshape(b, k_all, h, w, 1), warped[:, 0])
+        #
+        # FOLDED checkpoint boundary: the warp returns the kernel's own
+        # dense folded-planar buffer (B, K, H*4, W) and the NHWC
+        # transpose + SSIM/L1 tail is rematerialized from it -- so the
+        # residual XLA saves for the backward is that dense buffer, not
+        # the 5.3-7.1x-padded NHWC copy it used to lay batch-minor at
+        # this boundary (the top train-step residual, PROFILE.md
+        # 2026-08-19; the earlier FLAT rank-2 boundary attempt lost
+        # because un-flattening rebuilt the padded layout -- the folded
+        # form unfolds with one plain transpose XLA fuses into the tail).
+        warped_f = _multi_warp(src, grid, use_pallas=use_pl,
+                               col_window=cfg.warp_col_window, folded=True)
+
+        def _tail(warped_f, target):
+            from movedepth_tpu.ops.layout import unfold_image
+            warped = unfold_image(warped_f, 3)  # (B, K, H, W, 3)
+            wf = warped.reshape(b * k_all, h, w, 3)
+            tf = jnp.broadcast_to(target[:, None],
+                                  (b, k_all, h, w, 3)).reshape(wf.shape)
+            rp, l1 = _reproj(wf, tf)
+            return (rp.reshape(b, k_all, h, w, 1),
+                    l1.reshape(b, k_all, h, w, 1), warped[:, 0])
+
+        if remat:  # the whole block is already rematerialized outside
+            return _tail(warped_f, target)
+        return jax.checkpoint(_tail)(warped_f, target)
 
     if remat:
         _frame_block = jax.checkpoint(_frame_block)
