@@ -79,6 +79,7 @@ def test_predict_disparities_shapes(eval_tree):
     assert ((dfused >= lo) & (dfused <= hi)).all()
 
 
+@pytest.mark.slow
 def test_parity_eval_script(eval_tree, tmp_path):
     """scripts/parity_eval.sh runs the WHOLE runbook (ckpt conversion ->
     eval -> tables -> target diff) on a synthetic tree + a reference-style

@@ -67,6 +67,7 @@ def test_use_z_bins_changes_result(setup):
     assert float(l0["mvs_loss"]) != float(l1["mvs_loss"])
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(setup):
     models, _, batch = setup
     state, tx = S.create_train_state(models, CFG, jax.random.PRNGKey(0),
@@ -86,6 +87,7 @@ def test_train_step_decreases_loss(setup):
     assert last < first  # same batch, loss must go down
 
 
+@pytest.mark.slow
 def test_fuse_loss_only_updates_mask_cnn(setup):
     """The fusion loss must not backprop into the depth branches
     (reference detaches both depths, trainer.py:413)."""
@@ -134,6 +136,7 @@ def test_multi_warp_chunked_matches_direct(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forward_infer_bf16_config():
     """The default (bfloat16 compute) config must produce finite depths
     (the TPU production path; runs here on CPU for regression safety)."""
@@ -171,6 +174,7 @@ def test_mask_mvs_conf_matches_torch_trilinear(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_heavy_remat_path_matches_light():
     """The batch-gated rematerialization (cfg.remat_batch_threshold) must
     not change the training math: loss and parameter gradients computed
@@ -216,6 +220,7 @@ def test_heavy_remat_path_matches_light():
             assert nd <= 3e-2 * max(n0, 1e-8), (scope, name, nd, n0)
 
 
+@pytest.mark.slow
 def test_photometric_losses_planar_parity():
     """The folded-planar loss path (cfg.planar_losses) must reproduce the
     NHWC formulation: same loss values and same parameter gradients.
@@ -274,6 +279,7 @@ def test_avg_reprojection(setup):
     assert m_nhwc > m_min + 1e-6
 
 
+@pytest.mark.slow
 def test_param_dtype_bfloat16_storage():
     """cfg.param_dtype='bfloat16' casts parameter STORAGE at init;
     BN running stats stay float32."""

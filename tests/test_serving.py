@@ -68,6 +68,7 @@ def test_infer_cli_mono(weights_folder, frames_dir, tmp_path):
 
 
 @pytest.mark.parametrize("mono", [True, False])
+@pytest.mark.slow
 def test_export_roundtrip(weights_folder, mono):
     """Serialized artifact reproduces the live forward exactly."""
     from jax import export

@@ -30,6 +30,7 @@ def test_shard_batch_places_on_all_devices():
     assert len(sharded["x"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """The sharded train step must produce the same loss and grads as the
     single-device run on the same global batch (DDP-consistency, the

@@ -42,6 +42,7 @@ def make_cfg(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(kitti_tree):
     tmp_path, splits = kitti_tree
     cfg = make_cfg(tmp_path).replace(save_intermediate_models=True)
@@ -61,6 +62,7 @@ def test_trainer_end_to_end(kitti_tree):
     assert os.path.isdir(os.path.join(models_dir, "weights_0_0"))
 
 
+@pytest.mark.slow
 def test_trainer_resume_from_checkpoint(kitti_tree):
     """Resume continues the epoch clock: a state saved after 2 epochs
     (step 4) restored into a 4-epoch run trains epochs 2..3 only, keeps
@@ -98,7 +100,15 @@ def test_trainer_resume_from_checkpoint(kitti_tree):
 def test_trainer_mono_warm_start(kitti_tree):
     tmp_path, splits = kitti_tree
     cfg = make_cfg(tmp_path)
-    last = os.path.join(str(tmp_path / "log"), "t", "models", "last")
+    # Self-sufficient donor checkpoint (must not depend on the slow-marked
+    # end-to-end test having run first): a DIFFERENT-seed init, saved the
+    # way Trainer.save does, guarantees the warm start is non-vacuous
+    # (same-seed init would match the target trainer's params trivially).
+    donor_log = os.path.join(str(tmp_path / "log"), "t_donor")
+    donor = Trainer(cfg.replace(model_name="t_donor", seed=123),
+                    split_dir=splits)
+    C.save_checkpoint(donor_log, donor.state, last=True)
+    last = os.path.join(donor_log, "models", "last")
     cfg = cfg.replace(mono_weights_folder=last, model_name="t3")
     trainer = Trainer(cfg, split_dir=splits)
     restored = C.restore_checkpoint(
