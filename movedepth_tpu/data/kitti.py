@@ -133,11 +133,24 @@ def color_jitter_np(rng: np.random.Generator):
     per-op uint8 quantization (measured <= ~0.03 absolute on [0,1];
     tests/test_data.py pins it) -- augmentation noise, not protocol.
     """
+    params, ops = draw_jitter_params(rng)
+    return _apply_jitter_np(params, ops)
+
+
+def draw_jitter_params(rng: np.random.Generator):
+    """Draw the shared (b, c, s, h) factors + op order -- the SAME rng
+    stream positions as the PIL path, so all three implementations (PIL,
+    numpy, native C++ md_jitter_batch) see identical parameters."""
     b = rng.uniform(0.8, 1.2)
     c = rng.uniform(0.8, 1.2)
     s = rng.uniform(0.8, 1.2)
     h = rng.uniform(-0.1, 0.1)
     ops = list(rng.permutation(4))
+    return (b, c, s, h), ops
+
+
+def _apply_jitter_np(params, ops):
+    b, c, s, h = params
     luma_w = np.array([0.299, 0.587, 0.114], np.float32)
 
     def apply(arr: np.ndarray) -> np.ndarray:
@@ -391,10 +404,19 @@ class KITTIRawDataset:
                             self.num_pyramid_scales, flips[:1])
 
         if aug_rng is not None:
-            jit = color_jitter_np(aug_rng)
-            # blank-frame guard matches the PIL path
+            params, ops = draw_jitter_params(aug_rng)
+            if NL.jitter_available():
+                # fused C++ jitter (one threaded pass; the numpy hue op
+                # alone costs ~29 ms/frame on one core)
+                jittered = NL.jitter_batch(scale0.copy(), params, ops)
+            else:
+                jit = _apply_jitter_np(params, ops)
+                jittered = np.stack([jit(f) for f in scale0], 0)
+            # blank-frame guard matches the PIL path (jitter(0) == 0 in
+            # float, so this only re-asserts exactness)
             color_aug = np.stack(
-                [f if f.sum() == 0 else jit(f) for f in scale0], 0)
+                [f if f.sum() == 0 else j
+                 for f, j in zip(scale0, jittered)], 0)
         else:
             color_aug = scale0
 

@@ -215,6 +215,93 @@ void resize_lanczos(const Image& src, int out_w, int out_h, Image* out) {
   resize_lanczos_t(src.data.data(), src.w, src.h, 1.0f, out_w, out_h, out);
 }
 
+// ------------------------------------------------------------ color jitter
+//
+// The 4-op torchvision-ColorJitter-equivalent augmentation, float math
+// identical to data/kitti.py::color_jitter_np (which mirrors the PIL path's
+// rng draws; reference: mono_dataset.py:67-80,220-223). The numpy hue op is
+// a full float HSV round-trip and costs ~29 ms per 640x192 frame on one
+// core -- fused here it is one cache-resident pass per op, threaded with
+// the decode pool.
+
+inline float floored_mod1(float x) { return x - std::floor(x); }
+
+void jitter_image(float* img, size_t npix, const float params[4],
+                  const uint8_t order[4]) {
+  const float b = params[0], c = params[1], s = params[2];
+  const float hue_shift = float(int(params[3] * 255.0f)) / 255.0f;
+  for (int oi = 0; oi < 4; ++oi) {
+    switch (order[oi]) {
+      case 0: {  // brightness: x*b
+        for (size_t i = 0; i < npix * 3; ++i)
+          img[i] = std::fmin(std::fmax(img[i] * b, 0.0f), 1.0f);
+        break;
+      }
+      case 1: {  // contrast: blend toward the global luma mean
+        double acc = 0.0;
+        for (size_t i = 0; i < npix; ++i) {
+          const float* p = img + i * 3;
+          acc += 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+        }
+        const float mean = float(acc / double(npix));
+        const float base = mean * (1.0f - c);
+        for (size_t i = 0; i < npix * 3; ++i)
+          img[i] = std::fmin(std::fmax(base + img[i] * c, 0.0f), 1.0f);
+        break;
+      }
+      case 2: {  // saturation: blend toward per-pixel luma
+        for (size_t i = 0; i < npix; ++i) {
+          float* p = img + i * 3;
+          const float l =
+              (0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2]) * (1.0f - s);
+          for (int k = 0; k < 3; ++k)
+            p[k] = std::fmin(std::fmax(l + p[k] * s, 0.0f), 1.0f);
+        }
+        break;
+      }
+      default: {  // hue: float HSV rotation by int(h*255)/255
+        for (size_t i = 0; i < npix; ++i) {
+          float* p = img + i * 3;
+          const float r = std::fmin(std::fmax(p[0], 0.0f), 1.0f);
+          const float g = std::fmin(std::fmax(p[1], 0.0f), 1.0f);
+          const float bl = std::fmin(std::fmax(p[2], 0.0f), 1.0f);
+          const float v = std::fmax(r, std::fmax(g, bl));
+          const float cc = v - std::fmin(r, std::fmin(g, bl));
+          float hh;
+          if (cc == 0.0f) {
+            hh = 0.0f;
+          } else {
+            // same tie-breaking order as the numpy where-chain
+            if (v == r) hh = (g - bl) / cc;
+            else if (v == g) hh = 2.0f + (bl - r) / cc;
+            else hh = 4.0f + (r - g) / cc;
+            hh = floored_mod1(hh / 6.0f);
+          }
+          const float ss = v == 0.0f ? 0.0f : cc / v;
+          hh = floored_mod1(hh + hue_shift);
+          const float f6 = hh * 6.0f;
+          const int sect = int(std::floor(f6)) % 6;
+          const float f = f6 - std::floor(f6);
+          const float pp = v * (1.0f - ss);
+          const float q = v * (1.0f - ss * f);
+          const float t = v * (1.0f - ss * (1.0f - f));
+          switch (sect) {
+            case 0: p[0] = v;  p[1] = t;  p[2] = pp; break;
+            case 1: p[0] = q;  p[1] = v;  p[2] = pp; break;
+            case 2: p[0] = pp; p[1] = v;  p[2] = t;  break;
+            case 3: p[0] = pp; p[1] = q;  p[2] = v;  break;
+            case 4: p[0] = t;  p[1] = pp; p[2] = v;  break;
+            default: p[0] = v; p[1] = pp; p[2] = q;  break;
+          }
+          for (int k = 0; k < 3; ++k)
+            p[k] = std::fmin(std::fmax(p[k], 0.0f), 1.0f);
+        }
+        break;
+      }
+    }
+  }
+}
+
 void hflip(ImageU8* img) {
   for (int y = 0; y < img->h; ++y) {
     uint8_t* row = img->data.data() + size_t(y) * img->w * 3;
@@ -273,6 +360,28 @@ int md_load_batch(const char** paths, int n, const uint8_t* flips,
   for (int t = 0; t < nt; ++t) threads.emplace_back(work);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+// Apply the 4-op color jitter IN PLACE to n (h, w, 3) float images (one
+// shared (b, c, s, hue) draw and op order per call -- the dataset shares
+// the jitter across a sample's frames, reference mono_dataset.py:220-223).
+// Math identical to data/kitti.py::color_jitter_np; threaded per image.
+void md_jitter_batch(float* imgs, int n, int h, int w, const float* params,
+                     const uint8_t* order, int num_threads) {
+  std::atomic<int> next{0};
+  const size_t npix = size_t(h) * w;
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      jitter_image(imgs + size_t(i) * npix * 3, npix, params, order);
+    }
+  };
+  int nt = std::min(std::max(num_threads, 1), n);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
 }
 
 // Single-image decode to a caller-allocated full-res buffer (returns w<<16|h

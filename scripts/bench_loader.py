@@ -68,10 +68,11 @@ def bench_pil(paths, repeats=3):
     return len(paths) / best
 
 
-def bench_native_jittered(paths, threads, repeats=3):
+def bench_native_jittered(paths, threads, repeats=3, native_jitter=True):
     """The TRAIN path for augmented samples: C++ decode+pyramid, then the
-    float-vectorized color_jitter_np (data/kitti.py) on scale 0."""
-    from movedepth_tpu.data.kitti import color_jitter_np
+    fused C++ md_jitter_batch (or, with ``native_jitter=False``, the
+    numpy fallback color_jitter_np) on scale 0."""
+    from movedepth_tpu.data.kitti import _apply_jitter_np, draw_jitter_params
 
     best = float("inf")
     for r in range(repeats):
@@ -79,9 +80,14 @@ def bench_native_jittered(paths, threads, repeats=3):
         t0 = time.perf_counter()
         outs = native_loader.load_batch(paths, 640, 192, num_scales=4,
                                         num_threads=threads)
-        jit = color_jitter_np(rng)
-        for img in outs[0]:
-            jit(img)
+        params, ops = draw_jitter_params(rng)
+        if native_jitter:
+            native_loader.jitter_batch(outs[0].copy(), params, ops,
+                                       num_threads=threads)
+        else:
+            jit = _apply_jitter_np(params, ops)
+            for img in outs[0]:
+                jit(img)
         best = min(best, time.perf_counter() - t0)
     return len(paths) / best
 
@@ -117,8 +123,11 @@ def main():
         if native_loader.available():
             r = bench_native(paths, threads)
             print(f"native ({threads} threads): {r:.1f} images/s")
-            r = bench_native_jittered(paths, threads)
-            print(f"native + numpy jitter (train path): {r:.1f} images/s")
+            if native_loader.jitter_available():
+                r = bench_native_jittered(paths, threads)
+                print(f"native + C++ jitter (train path): {r:.1f} images/s")
+            r = bench_native_jittered(paths, threads, native_jitter=False)
+            print(f"native + numpy jitter (fallback): {r:.1f} images/s")
         else:
             print("native loader unavailable")
         r = bench_pil(paths)

@@ -152,3 +152,30 @@ def test_color_jitter_np_matches_pil():
         # uint8 HSV round trip. Worst-case accumulation ~0.03-0.06.
         assert diff.max() < 0.08, (seed, diff.max())
         assert diff.mean() < 0.01, (seed, diff.mean())
+
+def test_cpp_jitter_matches_numpy():
+    """md_jitter_batch vs _apply_jitter_np: same float math, so agreement
+    is float-rounding tight (the contrast mean accumulates in double in
+    C++ vs numpy's pairwise f32 sum)."""
+    from movedepth_tpu.data.kitti import _apply_jitter_np, draw_jitter_params
+
+    if not NL.jitter_available():
+        pytest.skip("md_jitter_batch not in the built library")
+    img = np.random.default_rng(7).uniform(
+        0, 1, (3, 96, 128, 3)).astype(np.float32)
+    for seed in range(12):  # samples most of the 24 op orders + factors
+        params, ops = draw_jitter_params(np.random.default_rng(seed))
+        ref = np.stack([_apply_jitter_np(params, ops)(f) for f in img], 0)
+        got = NL.jitter_batch(img.copy(), params, ops, num_threads=2)
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_cpp_jitter_zero_image_is_zero():
+    """The blank-frame guard relies on jitter(0) == 0 exactly."""
+    from movedepth_tpu.data.kitti import draw_jitter_params
+
+    if not NL.jitter_available():
+        pytest.skip("md_jitter_batch not in the built library")
+    img = np.zeros((1, 32, 48, 3), np.float32)
+    params, ops = draw_jitter_params(np.random.default_rng(0))
+    np.testing.assert_array_equal(NL.jitter_batch(img, params, ops), 0.0)
