@@ -148,14 +148,15 @@ class Config:
     # (PROFILE.md 2026-08-19). Kept as a tested option
     planar_losses: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
-    # trunk and the photometric frame blocks (jax.checkpoint) so batches
-    # 24/32 fit the 16 GB HBM; at/below it, full-speed (no recompute). At
-    # the shipped 640x192 the no-remat footprint measured 2026-08-19 is
-    # 15.93 GB at batch 24 (OOM over the 15.75 GB limit -- batch-minor
-    # padded copies at the frame-block checkpoint boundary, see
-    # PROFILE.md), so 16 is the largest full-speed batch. Static at
-    # trace time.
-    remat_batch_threshold: int = 16
+    # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
+    # fits the 16 GB HBM; at/below it, full-speed (no recompute). With the
+    # folded-planar checkpoint boundary (pipeline.py) the no-remat
+    # footprint at the shipped 640x192 measured 2026-08-19 is 14.81 GB at
+    # batch 24 (fits; 1310 ms vs 2084 ms under remat -- the remat graph
+    # hits an XLA scheduling pathology at this batch, PROFILE.md) and OOM
+    # at batch 32, so 24 is the largest full-speed batch. Static at trace
+    # time.
+    remat_batch_threshold: int = 24
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks
     # (faster backward, a few GB more residuals)
