@@ -19,7 +19,9 @@ Usage:
   python scripts/roofline.py infer            # FLOP counts (any backend)
   python scripts/roofline.py infer --measure  # + same-session chip ms -> MFU
   python scripts/roofline.py infer --ms 98.4  # combine with a known ms
-  python scripts/roofline.py train [batch] [--measure|--ms X]
+  python scripts/roofline.py train [batch] [--measure|--ms X] [--bytes]
+      --bytes (TPU backend): compile the step and read XLA's own
+      'bytes accessed' -> HBM-roofline speed-of-light vs the measured ms
 """
 
 import os
@@ -265,7 +267,34 @@ def main_infer(ms_arg, measure):
            batch, None, sweep_impl_flops(cfg, batch, c_match, rw=rw, kw=kw))
 
 
-def main_train(bs, ms_arg, measure):
+def hbm_speed_of_light(compiled, useful_flops, ms=None):
+    """HBM roofline from the compiled executable's own cost model.
+
+    XLA's ``cost_analysis()['bytes accessed']`` sums operand+output bytes
+    per fusion -- on TPU (no cache between fusions) that IS the HBM
+    traffic estimate, so speed-of-light = max(bytes/PEAK_HBM,
+    useful/PEAK_BF16). Meaningful only for a TPU-compiled executable
+    (CPU layouts/fusions differ)."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    byt = ca.get("bytes accessed")
+    if byt is None:
+        print("cost_analysis has no 'bytes accessed'; skipping")
+        return
+    t_hbm = byt / PEAK_HBM * 1e3
+    t_mxu = useful_flops / PEAK_BF16 * 1e3
+    sol = max(t_hbm, t_mxu)
+    bound = "HBM" if t_hbm >= t_mxu else "MXU"
+    line = (f"  XLA bytes accessed: {byt / 2**30:.2f} GiB -> HBM floor "
+            f"{t_hbm:.1f} ms; MXU floor {t_mxu:.1f} ms; "
+            f"speed-of-light {sol:.1f} ms ({bound}-bound)")
+    if ms:
+        line += f"; measured {ms:.1f} ms = {ms / sol:.2f}x SoL"
+    print(line, flush=True)
+
+
+def main_train(bs, ms_arg, measure, want_bytes=False):
     cfg = Config(batch_size=bs)
     models = build_models(cfg)
     state, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0),
@@ -287,6 +316,12 @@ def main_train(bs, ms_arg, measure):
         from profile_components import profile_train
         ms = profile_train(bs)
     report(f"train_step(batch {bs})", useful, bs, ms)
+    if want_bytes:
+        if jax.devices()[0].platform != "tpu":
+            print("--bytes needs the TPU backend (layout/fusion-accurate)")
+        else:
+            compiled = step.lower(state, batch_d, rng, zb).compile()
+            hbm_speed_of_light(compiled, useful, ms)
 
 
 if __name__ == "__main__":
@@ -300,4 +335,4 @@ if __name__ == "__main__":
         main_infer(ms, measure)
     else:
         bs = int(args[1]) if len(args) > 1 and args[1].isdigit() else 24
-        main_train(bs, ms, measure)
+        main_train(bs, ms, measure, want_bytes="--bytes" in args)
