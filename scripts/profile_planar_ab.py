@@ -74,16 +74,24 @@ def time_step(cfg, batch_size, n_long=6, n_short=2):
             (_, _), ls = lax.scan(body, (state, jax.random.PRNGKey(1)),
                                   None, length=n)
             return jnp.mean(ls)
-        return jax.jit(outer)
+        # donate the TrainState like the production loop (train/trainer.py
+        # donates into the jitted step): an undonated full-state scan
+        # carry adds a params+opt-state copy to peak HBM, which at batch
+        # 24's 14.8 GB footprint pushes XLA into a serialized schedule
+        # the real trainer never sees
+        return jax.jit(outer, donate_argnums=(0,))
 
     def timed(f):
-        float(f(state, batch))
-        best = float("inf")
-        for _ in range(3):
+        def run():
+            # donation consumes the state buffers: hand each call its own
+            # copy, materialized before the timed region
+            st = jax.tree.map(jnp.copy, state)
+            jax.block_until_ready(st)
             t0 = time.time()
-            float(f(state, batch))
-            best = min(best, time.time() - t0)
-        return best
+            float(f(st, batch))
+            return time.time() - t0
+        run()  # compile
+        return min(run() for _ in range(3))
 
     ts = timed(make(n_short))
     tl = timed(make(n_long))

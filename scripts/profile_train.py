@@ -225,10 +225,12 @@ def profile(batch_size):
     def full_step(state, batch):
         st2, losses, _ = step(state, batch, jax.random.PRNGKey(3),
                               jnp.asarray(True))
-        # touch the updated params so the optimizer apply isn't DCE'd
-        touch = sum(jnp.mean(l.astype(jnp.float32))
-                    for l in jax.tree.leaves(st2.params)[:3])
-        return losses["loss"].astype(jnp.float32) + 0.0 * touch
+        # touch EVERY updated leaf (params + opt state): touching only a
+        # few lets XLA DCE the other leaves' grad-correlation + Adam
+        # update work, under-measuring the step by up to ~2x at batch 24
+        touch = sum(jnp.sum(l.astype(jnp.float32)) * 1e-30
+                    for l in jax.tree.leaves((st2.params, st2.opt_state)))
+        return losses["loss"].astype(jnp.float32) + touch
 
     add("FULL train step", full_step, state, batch)
 
