@@ -71,9 +71,12 @@ def time_step(cfg, batch_size, n_long=6, n_short=2):
                 rng, sub = jax.random.split(rng)
                 st, losses, _ = step_fn(st, batch, sub, zb)
                 return (st, rng), losses["loss"].astype(jnp.float32)
-            (_, _), ls = lax.scan(body, (state, jax.random.PRNGKey(1)),
-                                  None, length=n)
-            return jnp.mean(ls)
+            (st_f, _), ls = lax.scan(body, (state, jax.random.PRNGKey(1)),
+                                     None, length=n)
+            # returning the final carry lets the donated input state alias
+            # the output buffers (donation without a matching output is
+            # only advisory)
+            return jnp.mean(ls), st_f
         # donate the TrainState like the production loop (train/trainer.py
         # donates into the jitted step): an undonated full-state scan
         # carry adds a params+opt-state copy to peak HBM, which at batch
@@ -88,7 +91,7 @@ def time_step(cfg, batch_size, n_long=6, n_short=2):
             st = jax.tree.map(jnp.copy, state)
             jax.block_until_ready(st)
             t0 = time.time()
-            float(f(st, batch))
+            float(f(st, batch)[0])
             return time.time() - t0
         run()  # compile
         return min(run() for _ in range(3))
