@@ -11,7 +11,9 @@ footprint of the single jitted step. Chip-day variance on the tunnel is
 
 Usage: python scripts/profile_planar_ab.py [batch ...]  (default: 8 24)
 
-Env knobs: AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
+Env knobs: AB_MODE=dispatch times the PRODUCTION donated single-step
+jit via chained dispatches (authoritative; the scan harnesses compile a
+different outer program whose XLA schedule can differ 2x). AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
 AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0. AB_VARIANT
 restricts to one arm; AB_MEM=1 adds compiled HBM temp footprints.
 """
@@ -45,6 +47,55 @@ from movedepth_tpu.train import state as S
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
+    """Time the PRODUCTION program: the donated single-step jit from
+    train/state.py, dispatched N times with the state chained call-to-call
+    (step i+1 consumes step i's state, so the device serializes them),
+    blocking once by fetching the FINAL loss -- a value transfer cannot
+    return before the whole chain drains, unlike the tunnel's
+    block_until_ready. Long/short differencing cancels the dispatch
+    pipeline fill and the one-time transfer latency. Unlike the scan
+    harnesses, this compiles and measures exactly what Trainer.train runs.
+    """
+    models = build_models(cfg)
+    state0, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0))
+    step = S.make_train_step(models, cfg, tx)  # donated, production jit
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size))
+    zb = jnp.asarray(True)
+
+    temp_gb = float("nan")
+    if os.environ.get("AB_MEM"):
+        try:
+            mem = step.lower(state0, batch, jax.random.PRNGKey(1),
+                             zb).compile().memory_analysis()
+            temp_gb = mem.temp_size_in_bytes / 2**30
+        except Exception:
+            pass
+
+    def run(n):
+        # fresh state per run (the chain donates it away)
+        st = jax.tree.map(jnp.copy, state0)
+        jax.block_until_ready(st)
+        rng = jax.random.PRNGKey(1)
+        # warm the program + transfer path outside the timed region
+        st, losses, _ = step(st, batch, rng, zb)
+        float(losses["loss"])
+        t0 = time.time()
+        for i in range(n):
+            rng, sub = jax.random.split(rng)
+            st, losses, _ = step(st, batch, sub, zb)
+        final = float(losses["loss"])  # transfers -> full drain
+        dt = time.time() - t0
+        assert final == final, "loss went NaN"
+        return dt
+
+    run(1)
+    ts = min(run(n_short) for _ in range(2))
+    tl = min(run(n_long) for _ in range(2))
+    ms = (tl - ts) / (n_long - n_short) * 1000.0
+    return ms, temp_gb
 
 
 def time_step(cfg, batch_size, n_long=6, n_short=2):
@@ -132,7 +183,10 @@ def main():
             if thresh is not None:
                 cfg = cfg.replace(remat_batch_threshold=int(thresh))
             try:
-                ms, gb = time_step(cfg, bs)
+                timer = (time_step_dispatch
+                         if os.environ.get("AB_MODE") == "dispatch"
+                         else time_step)
+                ms, gb = timer(cfg, bs)
             except Exception as e:
                 # one cell OOMing (a real verdict) must not kill the rest
                 # of the table
