@@ -157,6 +157,13 @@ class Config:
     # at batch 32, so 24 is the largest full-speed batch. Static at trace
     # time.
     remat_batch_threshold: int = 24
+    # train steps executed per device dispatch (an on-device lax.scan of
+    # the REAL step; semantics = that many sequential steps). >1 recovers
+    # the better XLA schedule measured for scan-wrapped steps at batch
+    # >= 16 (21%/14% faster at batch 16/24, PROFILE.md round 4); at the
+    # recommended batch 8 the schedules coincide, so the default stays 1.
+    # Train-image logging is recomputed out of band at log events.
+    steps_per_dispatch: int = 1
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks
     # (faster backward, a few GB more residuals)

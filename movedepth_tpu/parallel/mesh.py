@@ -81,6 +81,14 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_stacked_batch(batches, mesh: Mesh):
+    """Place a (K, B, ...) stacked multi-step batch pytree onto the mesh:
+    the step axis K is replicated (scanned over on every device), the
+    batch axis is sharded over ``data``."""
+    s = NamedSharding(mesh, P(None, "data"))
+    return jax.tree.map(lambda x: jax.device_put(x, s), batches)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate params/state across the mesh."""
     s = replicated(mesh)

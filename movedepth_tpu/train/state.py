@@ -144,7 +144,12 @@ def make_train_step(models, cfg: Config, tx):
     from the batch sharding -- no explicit psum (the TPU replacement for
     DDP's backward hooks, reference: trainer.py:133-135,270-272).
     """
+    step = _train_step_body(models, cfg, tx)
+    # donate the state: params/opt-state buffers are reused in place
+    return jax.jit(step, donate_argnums=(0,))
 
+
+def _train_step_body(models, cfg: Config, tx):
     def step(state: TrainState, batch, rng, use_z_bins):
         def loss_fn(params):
             variables = combine_variables(params, state.batch_stats)
@@ -167,5 +172,42 @@ def make_train_step(models, cfg: Config, tx):
         )
         return new_state, losses, outputs
 
-    # donate the state: params/opt-state buffers are reused in place
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_multistep(models, cfg: Config, tx):
+    """K real train steps per device dispatch, as one on-device lax.scan.
+
+    Measured on chip (PROFILE.md 2026-08-19 round 4): XLA schedules the
+    identical step body materially better inside an UNDONATED scan than
+    as the standalone donated jit at batch >= 16 (552.9 vs 701.4 ms/step
+    at batch 16, 1309.9 vs 1518.2 at batch 24), so
+    ``cfg.steps_per_dispatch`` > 1 recovers that schedule. The state is
+    deliberately NOT donated here: donating the scan carry was measured
+    SLOWER than not donating it (732.8 vs 552.9 ms/step at batch 16 --
+    donation forces an aliased carry layout that re-triggers the bad
+    schedule), and the double-buffered params+Adam state fit (14.33 GB
+    temp HBM at batch 16). Semantics are EXACTLY K sequential
+    make_train_step calls: the caller passes the same rng subkeys the
+    sequential loop would draw (pinned by
+    tests/test_pipeline.py::test_multistep_matches_sequential).
+
+    Args to the returned jit: (state, batches, rngs, use_z_bins) where
+    every batch leaf and rng is stacked on a leading K axis. Returns
+    (new_state, losses) with each loss stacked (K,); the per-step image
+    outputs are not materialized (they exist for logging only -- the
+    trainer recomputes them out of band at log events).
+    """
+    step = _train_step_body(models, cfg, tx)
+
+    def multi(state: TrainState, batches, rngs, use_z_bins):
+        def body(st, xs):
+            batch, rng = xs
+            st2, losses, _ = step(st, batch, rng, use_z_bins)
+            return st2, losses
+
+        new_state, losses = jax.lax.scan(body, state, (batches, rngs))
+        return new_state, losses
+
+    # no donate_argnums: see docstring (donated carry measured slower)
+    return jax.jit(multi)

@@ -131,6 +131,9 @@ class Trainer:
         self.state, self.tx = S.create_train_state(
             self.models, cfg, jax.random.PRNGKey(cfg.seed), steps_per_epoch)
         self.train_step = S.make_train_step(self.models, cfg, self.tx)
+        if cfg.steps_per_dispatch > 1:
+            self.train_multistep = S.make_train_multistep(
+                self.models, cfg, self.tx)
         self._val_forward = jax.jit(
             lambda v, b, rng, uz: P.forward_train(
                 self.models, v, b, cfg, rng, uz, train=False)[1][:2])
@@ -227,9 +230,93 @@ class Trainer:
             device_batch = M.shard_batch(device_batch, self.mesh)
         return device_batch
 
+    def _put_stacked(self, batches):
+        """Stack K host batches on a leading step axis and place them."""
+        stacked = {
+            k: np.stack([b[k] for b in batches], 0)
+            for k in batches[0] if k != "depth_gt"
+        }
+        stacked = jax.tree.map(jnp.asarray, stacked)
+        if self.mesh is not None:
+            stacked = M.shard_stacked_batch(stacked, self.mesh)
+        return stacked
+
+    def _log_cadence(self, batch_idx, step):
+        cfg = self.cfg
+        early = (batch_idx % max(1, cfg.log_frequency // self.world_size)
+                 == 0 and step < 2000)
+        return early or step % 2000 == 0
+
+    def run_epoch_multistep(self, use_z):
+        """cfg.steps_per_dispatch real steps per device call (on-device
+        lax.scan of the production step -- the scan schedule measured
+        21%/14% faster at batch 16/24, PROFILE.md round 4). The scanned
+        steps consume the same rng split chain and step/batch_idx
+        accounting as the sequential loop; at log events the image
+        outputs are recomputed out of band with one extra rng split (the
+        scan does not materialize them), and the tail of an epoch
+        shorter than K runs as plain production steps. profile_steps
+        tracing applies only to the sequential loop."""
+        cfg = self.cfg
+        k = cfg.steps_per_dispatch
+        group, it = [], self.train_loader.epoch(self.epoch)
+        batch_idx = 0
+        while True:
+            group = [b for _, b in zip(range(k), it)]
+            if len(group) < k:
+                break  # tail: finish with single production steps
+            t0 = time.time()
+            subs = []
+            for _ in range(k):
+                self.rng, sub = jax.random.split(self.rng)
+                subs.append(sub)
+            stacked = self._put_stacked(group)
+            self.state, losses = self.train_multistep(
+                self.state, stacked, jnp.stack(subs), use_z)
+            dt = (time.time() - t0) / k
+            for s in range(k):
+                if self._log_cadence(batch_idx + s, self.step + s):
+                    host_losses = {n: float(v[s]) for n, v in losses.items()}
+                    self.logger.log_time(self.epoch, batch_idx + s,
+                                         self.step + s, dt,
+                                         host_losses["loss"])
+                    # recompute outputs for panels/garg metrics (sparse)
+                    self.rng, sub2 = jax.random.split(self.rng)
+                    variables = S.combine_variables(self.state.params,
+                                                    self.state.batch_stats)
+                    _, outputs = self._val_forward(
+                        variables, self._put(group[s]), sub2, use_z)
+                    if "depth_gt" in group[s]:
+                        host_losses.update(garg_depth_metrics(
+                            np.asarray(outputs["depth_mono"]),
+                            group[s]["depth_gt"]))
+                    self.logger.log_scalars("train", host_losses,
+                                            self.step + s)
+                    self.logger.log_images("train", group[s], outputs,
+                                           self.step + s)
+                    self.validate(use_z)
+                if (cfg.save_intermediate_models and self.rank == 0
+                        and (self.step + s) % 2000 == 0):
+                    # per-step snapshot dirs (reference: trainer.py:291-292)
+                    # NB: intra-group states are never materialized, so the
+                    # snapshot holds the end-of-group state (<= K-1 steps
+                    # ahead of its label).
+                    C.save_checkpoint(self.log_path, self.state, self.epoch,
+                                      step=self.step + s)
+            self.step += k
+            batch_idx += k
+        for batch in group:  # tail (< k batches left in the epoch)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, losses, _ = self.train_step(
+                self.state, self._put(batch), sub, use_z)
+            self.step += 1
+            batch_idx += 1
+
     def run_epoch(self):
         cfg = self.cfg
         use_z = jnp.asarray(self.epoch > cfg.ztrans_start_epc)
+        if cfg.steps_per_dispatch > 1:
+            return self.run_epoch_multistep(use_z)
         for batch_idx, batch in enumerate(self.train_loader.epoch(self.epoch)):
             t0 = time.time()
             if self.profile_steps and self.rank == 0:
@@ -245,10 +332,8 @@ class Trainer:
             self.state, losses, outputs = self.train_step(
                 self.state, device_batch, sub, use_z)
 
-            early = (batch_idx % max(1, cfg.log_frequency // self.world_size)
-                     == 0 and self.step < 2000)
             late = self.step % 2000 == 0
-            if early or late:
+            if self._log_cadence(batch_idx, self.step):
                 loss_val = float(losses["loss"])
                 self.logger.log_time(self.epoch, batch_idx, self.step,
                                      time.time() - t0, loss_val)

@@ -63,6 +63,28 @@ def test_trainer_end_to_end(kitti_tree):
 
 
 @pytest.mark.slow
+def test_trainer_multistep_epoch(kitti_tree):
+    """steps_per_dispatch=2: the scanned multi-batch dispatch covers a
+    full epoch (2 steps = 1 group of K=2, no tail), keeps the step
+    accounting identical to the sequential loop, and still emits the
+    per-step snapshot dirs (state.py::make_train_multistep)."""
+    tmp_path, splits = kitti_tree
+    cfg = make_cfg(tmp_path).replace(
+        model_name="t_multi", steps_per_dispatch=2,
+        save_intermediate_models=True)
+    trainer = Trainer(cfg, split_dir=splits)
+    assert len(trainer.train_loader) == 2
+    trainer.train()
+    assert int(trainer.state.step) == 4  # 2 epochs x 2 steps
+    models_dir = os.path.join(trainer.log_path, "models")
+    assert os.path.isdir(os.path.join(models_dir, "last"))
+    # step 0 hits the %2000 snapshot cadence inside the first group
+    assert os.path.isdir(os.path.join(models_dir, "weights_0_0"))
+    p = np.asarray(trainer.state.params["mono_encoder"]["conv1"]["kernel"])
+    assert np.isfinite(p).all()
+
+
+@pytest.mark.slow
 def test_trainer_resume_from_checkpoint(kitti_tree):
     """Resume continues the epoch clock: a state saved after 2 epochs
     (step 4) restored into a 4-epoch run trains epochs 2..3 only, keeps
