@@ -13,7 +13,10 @@ Usage: python scripts/profile_planar_ab.py [batch ...]  (default: 8 24)
 
 Env knobs: AB_MODE=dispatch times the PRODUCTION donated single-step
 jit via chained dispatches (authoritative; the scan harnesses compile a
-different outer program whose XLA schedule can differ 2x). AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
+different outer program whose XLA schedule can differ 2x).
+AB_MODE=multistep times the SHIPPED make_train_multistep (AB_K steps
+per dispatch, default 4; reports ms per real step).
+AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
 AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0. AB_VARIANT
 restricts to one arm; AB_MEM=1 adds compiled HBM temp footprints.
 """
@@ -95,6 +98,57 @@ def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
     ts = min(run(n_short) for _ in range(2))
     tl = min(run(n_long) for _ in range(2))
     ms = (tl - ts) / (n_long - n_short) * 1000.0
+    return ms, temp_gb
+
+
+def time_step_multistep(cfg, batch_size, n_long=6, n_short=2):
+    """Time the SHIPPED cfg.steps_per_dispatch path: make_train_multistep
+    (train/state.py) -- K real steps per device call as an undonated
+    lax.scan of the production step body. Each scanned step consumes a
+    DISTINCT stacked batch (as Trainer.run_epoch_multistep feeds it);
+    dispatches are chained through the returned state and drained once by
+    fetching the final loss. Reports ms per REAL step (dispatch time / K).
+    """
+    k = int(os.environ.get("AB_K", "4"))
+    models = build_models(cfg)
+    state0, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0))
+    multi = S.make_train_multistep(models, cfg, tx)
+    batches = [jax.tree.map(jnp.asarray, make_batch(cfg, batch_size, seed=i))
+               for i in range(k)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *batches)
+    zb = jnp.asarray(True)
+
+    temp_gb = float("nan")
+    if os.environ.get("AB_MEM"):
+        try:
+            mem = multi.lower(
+                state0, stacked,
+                jnp.stack([jax.random.PRNGKey(i) for i in range(k)]),
+                zb).compile().memory_analysis()
+            temp_gb = mem.temp_size_in_bytes / 2**30
+        except Exception:
+            pass
+
+    def run(n):
+        st = jax.tree.map(jnp.copy, state0)
+        jax.block_until_ready(st)
+        rng = jax.random.PRNGKey(1)
+        rng, *subs = jax.random.split(rng, k + 1)
+        st, losses = multi(st, stacked, jnp.stack(subs), zb)
+        float(losses["loss"][-1])  # warm program + transfer path
+        t0 = time.time()
+        for _ in range(n):
+            rng, *subs = jax.random.split(rng, k + 1)
+            st, losses = multi(st, stacked, jnp.stack(subs), zb)
+        final = float(losses["loss"][-1])  # transfers -> full drain
+        dt = time.time() - t0
+        assert final == final, "loss went NaN"
+        return dt
+
+    run(1)
+    ts = min(run(n_short) for _ in range(2))
+    tl = min(run(n_long) for _ in range(2))
+    ms = (tl - ts) / (n_long - n_short) * 1000.0 / k
     return ms, temp_gb
 
 
@@ -183,9 +237,9 @@ def main():
             if thresh is not None:
                 cfg = cfg.replace(remat_batch_threshold=int(thresh))
             try:
-                timer = (time_step_dispatch
-                         if os.environ.get("AB_MODE") == "dispatch"
-                         else time_step)
+                timer = {"dispatch": time_step_dispatch,
+                         "multistep": time_step_multistep}.get(
+                    os.environ.get("AB_MODE", ""), time_step)
                 ms, gb = timer(cfg, bs)
             except Exception as e:
                 # one cell OOMing (a real verdict) must not kill the rest

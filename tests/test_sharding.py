@@ -30,6 +30,38 @@ def test_shard_batch_places_on_all_devices():
     assert len(sharded["x"].sharding.device_set) == 8
 
 
+def test_multistep_composes_with_mesh():
+    """make_train_multistep (steps_per_dispatch > 1) under a (data=4,
+    model=2) mesh: the scanned K-step dispatch compiles and runs with the
+    stacked batch sharded by shard_stacked_batch (step axis replicated,
+    batch axis over 'data') and a replicated state, producing finite
+    per-step losses and advancing the step counter."""
+    cfg = Config(height=32, width=64, batch_size=4, num_depth_bins=8,
+                 compute_dtype="float32")
+    models = build_models(cfg)
+    state, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0),
+                                     steps_per_epoch=10)
+    multi = S.make_train_multistep(models, cfg, tx)
+    b1 = make_batch(cfg, 4, seed=1)
+    b2 = make_batch(cfg, 4, seed=2)
+    stacked = jax.tree.map(lambda a, b: jnp.stack(
+        [jnp.asarray(a), jnp.asarray(b)], 0), b1, b2)
+    subs = jnp.stack([jax.random.PRNGKey(11), jax.random.PRNGKey(12)])
+
+    mesh = M.make_mesh(model=2)
+    with M.activate_mesh(mesh):
+        st = M.replicate(state, mesh)
+        sb = M.shard_stacked_batch(stacked, mesh)
+        assert len(sb["color"].sharding.device_set) == 8
+        new_state, losses = multi(
+            st, sb, jax.device_put(subs, M.replicated(mesh)),
+            jax.device_put(jnp.asarray(False), M.replicated(mesh)))
+    assert losses["loss"].shape == (2,)
+    vals = np.asarray(losses["loss"])
+    assert np.isfinite(vals).all()
+    assert int(new_state.step) == 2
+
+
 @pytest.mark.slow
 def test_dp_matches_single_device():
     """The sharded train step must produce the same loss and grads as the
