@@ -158,11 +158,15 @@ class Config:
     # time.
     remat_batch_threshold: int = 24
     # train steps executed per device dispatch (an on-device lax.scan of
-    # the REAL step; semantics = that many sequential steps). >1 recovers
-    # the better XLA schedule measured for scan-wrapped steps at batch
-    # >= 16 (21%/14% faster at batch 16/24, PROFILE.md round 4); at the
-    # recommended batch 8 the schedules coincide, so the default stays 1.
-    # Train-image logging is recomputed out of band at log events.
+    # the REAL step; semantics = that many sequential steps). Chip-A/B'd
+    # and NOT a single-chip win: with real per-step batches the scanned
+    # step measured 953.2 ms at batch 16 (K=4) vs ~701 ms for the
+    # production single-step dispatch -- the earlier harness-scan speedup
+    # existed only because its batch was loop-constant (PROFILE.md round
+    # 4, "Shipped multistep"). Default stays 1; >1 is for deployments
+    # where per-step host dispatch latency dominates (it is ~zero on this
+    # tunnel). Train-image logging is recomputed out of band at log
+    # events.
     steps_per_dispatch: int = 1
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks

@@ -178,18 +178,19 @@ def _train_step_body(models, cfg: Config, tx):
 def make_train_multistep(models, cfg: Config, tx):
     """K real train steps per device dispatch, as one on-device lax.scan.
 
-    Measured on chip (PROFILE.md 2026-08-19 round 4): XLA schedules the
-    identical step body materially better inside an UNDONATED scan than
-    as the standalone donated jit at batch >= 16 (552.9 vs 701.4 ms/step
-    at batch 16, 1309.9 vs 1518.2 at batch 24), so
-    ``cfg.steps_per_dispatch`` > 1 recovers that schedule. The state is
-    deliberately NOT donated here: donating the scan carry was measured
-    SLOWER than not donating it (732.8 vs 552.9 ms/step at batch 16 --
-    donation forces an aliased carry layout that re-triggers the bad
-    schedule), and the double-buffered params+Adam state fit (14.33 GB
-    temp HBM at batch 16). Semantics are EXACTLY K sequential
-    make_train_step calls: the caller passes the same rng subkeys the
-    sequential loop would draw (pinned by
+    Measured on chip (PROFILE.md round 4, "Shipped multistep"): NOT a
+    single-chip throughput win. With real distinct per-step batches this
+    scan runs 953.2 ms/step at batch 16 (K=4) vs ~701 ms for the
+    production single-step dispatch; the earlier harness-scan numbers
+    that motivated it (552.9 ms undonated / 732.8 donated) reused ONE
+    loop-constant batch, letting XLA hoist batch-derived work out of the
+    loop -- unreachable in real training. The state is still not donated
+    (the donated harness carry measured slower, and the double-buffered
+    params+Adam state fit: 13.90 GB temp HBM at batch 16). The option
+    exists for dispatch-latency-bound deployments (per-step host dispatch
+    is ~zero on this tunnel but not on every orchestrator). Semantics are
+    EXACTLY K sequential make_train_step calls: the caller passes the
+    same rng subkeys the sequential loop would draw (pinned by
     tests/test_pipeline.py::test_multistep_matches_sequential).
 
     Args to the returned jit: (state, batches, rngs, use_z_bins) where

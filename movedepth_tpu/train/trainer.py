@@ -249,8 +249,10 @@ class Trainer:
 
     def run_epoch_multistep(self, use_z):
         """cfg.steps_per_dispatch real steps per device call (on-device
-        lax.scan of the production step -- the scan schedule measured
-        21%/14% faster at batch 16/24, PROFILE.md round 4). The scanned
+        lax.scan of the production step; for dispatch-latency-bound
+        deployments -- measured SLOWER than single-step dispatch on this
+        single-chip tunnel, PROFILE.md round 4 "Shipped multistep", so
+        the default stays 1). The scanned
         steps consume the same rng split chain and step/batch_idx
         accounting as the sequential loop; at log events the image
         outputs are recomputed out of band with one extra rng split (the
