@@ -64,7 +64,24 @@ def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
     """
     models = build_models(cfg)
     state0, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0))
-    step = S.make_train_step(models, cfg, tx)  # donated, production jit
+    # AB_XLA="key=val,key=val" forwards XLA compiler options to this jit
+    # only (e.g. xla_tpu_enable_latency_hiding_scheduler=false) -- probes
+    # whether the large-batch residual is scheduler choice, not the graph
+    copts = None
+    if os.environ.get("AB_XLA"):
+        copts = dict(kv.split("=", 1)
+                     for kv in os.environ["AB_XLA"].split(","))
+    if os.environ.get("AB_DONATE") == "0":
+        # same step body, donation off: costs a params+opt-state double
+        # buffer (~0.36 GB) but frees XLA from aliasing input and output
+        # state buffers, which can change the schedule it picks
+        step = jax.jit(S._train_step_body(models, cfg, tx),
+                       compiler_options=copts)
+    elif copts:
+        step = jax.jit(S._train_step_body(models, cfg, tx),
+                       donate_argnums=(0,), compiler_options=copts)
+    else:
+        step = S.make_train_step(models, cfg, tx)  # donated, production jit
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size))
     zb = jnp.asarray(True)
 
