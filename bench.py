@@ -126,8 +126,48 @@ def run_tier(cfg):
     return BATCH / per_iter
 
 
+def check_chip_parity_gate():
+    """Fail loudly if the committed on-chip numerics golden is failed or
+    stale (scripts/chip_parity.py writes it). A failed artifact aborts the
+    benchmark -- a fast wrong kernel is not a result; a missing or
+    off-HEAD artifact only warns (the bench number itself is still valid).
+    """
+    import subprocess
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "chip_parity.json")
+    try:
+        with open(path) as f:
+            report = json.load(f)
+    except OSError:
+        log("WARNING: artifacts/chip_parity.json missing -- run "
+            "scripts/chip_parity.py check on the chip to gate numerics")
+        return
+    if not report.get("pass"):
+        log("ERROR: committed chip-parity artifact FAILED; refusing to "
+            "benchmark numerically-regressed kernels "
+            "(scripts/chip_parity.py check)")
+        raise SystemExit(1)
+    head = None
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10).stdout.strip()
+    except Exception:
+        pass
+    stamped = report.get("git_head")
+    if head and stamped and not head.startswith(stamped[:12]):
+        log(f"WARNING: chip-parity artifact is from commit "
+            f"{stamped[:12]}, HEAD is {head[:12]} -- re-run "
+            f"scripts/chip_parity.py check if kernels changed")
+    else:
+        log(f"chip-parity gate: PASS (artifact {stamped or 'unstamped'})")
+
+
 def main():
     log(f"devices: {jax.devices()}")
+    check_chip_parity_gate()
     log(f"pose temper: {'on (trained-checkpoint regime)' if TEMPER else 'OFF (fresh-init regime)'}")
     fps = None
     for name, overrides in KERNEL_TIERS:

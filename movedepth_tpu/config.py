@@ -135,8 +135,14 @@ class Config:
     # from W to this window; a host-side coverage check falls back to the
     # full-row rung per call when the band overflows. 0 disables
     warp_col_window: int = 384
-    # C++ decode+pyramid loader (native/loader.cpp); PIL fallback when off
-    native_loader: bool = False
+    # C++ decode+pyramid loader (native/loader.cpp): decode + float
+    # Lanczos pyramid + fused color jitter, one GIL-free OS thread per
+    # image -- measured 90-99 img/s/core vs PIL's 76-81 (47.4 vs 45.1 on
+    # the jittered train path; PROFILE.md loader table). Default ON; the
+    # dataset falls back to PIL automatically when the toolchain cannot
+    # build the .so (data/kitti.py), and robust_train's random frame
+    # offsets still take the PIL path
+    native_loader: bool = True
     # photometric losses on the folded-planar layout (ops/layout.py):
     # channels packed into sublanes so the SSIM/L1/automask/smoothness
     # chains run lane-dense instead of padding NHWC's C=3 lanes 42x.

@@ -121,6 +121,16 @@ EXEMPT = {
 # depth_mvs-dependent losses inherit the bin conditioning (docstring)
 LOSS_BOUND_DEFAULT = 5e-2
 LOSS_BOUNDS = {"mvs_loss": 0.25, "mvs_reproj_loss": 0.25, "loss": 0.1}
+# The z-scaled-bins config above is ill-conditioned by construction
+# (localmax amplifies rounding-level prob shifts into bin-scale depth
+# moves), which is why its depth-path losses gate at 0.25 -- loose enough
+# to hide a moderate Mosaic regression confined to the depth path
+# (VERDICT r4 weak #5). The PLAIN scheduler (use_z=False: a wide
+# prior-centered band, the epoch<=8 training regime) is well-conditioned,
+# so its whole loss dict gates tight; a depth-path kernel regression
+# cannot hide in both configs.
+PLAIN_LOSS_BOUND_DEFAULT = 5e-2
+PLAIN_LOSS_BOUNDS = {"loss": 0.1}
 
 
 def log(*a):
@@ -210,19 +220,23 @@ def run_oracle():
             arrays[f"infer_{tag}.{key}"] = np.asarray(out[key], np.float32)
         log(f"oracle infer ({'tempered' if tempered else 'untempered'}) done")
 
-    # train losses (tempered variables; fixed rng; z-bins active)
+    # train losses (tempered variables; fixed rng), both bin regimes:
+    # z-scaled (the conditioning-dominated config, loose depth-path gates)
+    # and plain prior-band (well-conditioned, tight gates -- see
+    # PLAIN_LOSS_BOUNDS)
     models, variables = build(ORACLE_CFG, True)
     batch = the_batch(ORACLE_CFG)
-    _, (losses, _, _) = jax.jit(
-        lambda v, b: P.forward_train(models, v, b, ORACLE_CFG,
-                                     jax.random.PRNGKey(99),
-                                     jnp.asarray(True), train=True)
-    )(variables, batch)
-    loss_names = sorted(losses)
-    arrays["train_losses"] = np.array(
-        [float(losses[k]) for k in loss_names], np.float64)
-    arrays["train_loss_names"] = np.array(loss_names)
-    log("oracle train losses done")
+    for use_z, tag in ((True, ""), (False, "_plain")):
+        _, (losses, _, _) = jax.jit(
+            lambda v, b, z=use_z: P.forward_train(
+                models, v, b, ORACLE_CFG, jax.random.PRNGKey(99),
+                jnp.asarray(z), train=True)
+        )(variables, batch)
+        loss_names = sorted(losses)
+        arrays[f"train_losses{tag}"] = np.array(
+            [float(losses[k]) for k in loss_names], np.float64)
+        arrays[f"train_loss_names{tag}"] = np.array(loss_names)
+        log(f"oracle train losses{tag or ' (z)'} done")
 
     gx, gy = warp_grad_probe(interpret=True)
     arrays["warp_grad.gx"] = np.asarray(gx, np.float32)
@@ -260,10 +274,21 @@ def _stat_program(models, cfg, refs):
     return jax.jit(fn)
 
 
+def _git_head():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(ART_DIR), timeout=10).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def run_check():
     oracle = np.load(ORACLE_PATH, allow_pickle=False)
     report = {"device": str(jax.devices()), "bounds": dict(BOUNDS),
-              "configs": {}, "pass": True}
+              "configs": {}, "pass": True, "git_head": _git_head()}
     failures = []
 
     def gate(stat_key, value, config=None, bound=None):
@@ -293,30 +318,38 @@ def run_check():
         log(f"[{name}] " + " ".join(
             f"{k}={v:.4g}" for k, v in centry.items() if "p95" in k))
 
-    # train loss dict, shipped bf16
+    # train loss dict, shipped bf16, both bin regimes (z-scaled loose on
+    # the depth path, plain tight everywhere -- see PLAIN_LOSS_BOUNDS)
     cfg = Config(batch_size=B)
     models, variables = build(cfg, True)
     batch = the_batch(cfg)
-    _, (losses, _, _) = jax.jit(
-        lambda v, b: P.forward_train(models, v, b, cfg,
-                                     jax.random.PRNGKey(99),
-                                     jnp.asarray(True), train=True)
-    )(variables, batch)
-    names = [str(n) for n in oracle["train_loss_names"]]
-    ref_vals = oracle["train_losses"]
-    tl = {}
-    max_rel = 0.0
-    for i, n in enumerate(names):
-        got = float(losses[n])
-        rel = abs(got - ref_vals[i]) / (abs(ref_vals[i]) + 1e-3)
-        tl[n] = {"chip": got, "oracle": float(ref_vals[i]),
-                 "rel": float(rel)}
-        max_rel = max(max_rel, rel)
-        gate(f"train_loss[{n}].rel", rel,
-             bound=LOSS_BOUNDS.get(n, LOSS_BOUND_DEFAULT))
-    report["train_losses"] = tl
-    report["train_loss.max_rel"] = max_rel
-    log(f"[train] loss dict max_rel={max_rel:.4g}")
+    for use_z, tag, bounds, default in (
+            (True, "", LOSS_BOUNDS, LOSS_BOUND_DEFAULT),
+            (False, "_plain", PLAIN_LOSS_BOUNDS, PLAIN_LOSS_BOUND_DEFAULT)):
+        if f"train_loss_names{tag}" not in oracle:
+            log(f"WARNING: oracle lacks train_losses{tag} -- regenerate "
+                f"with scripts/chip_parity.py oracle; skipping")
+            continue
+        _, (losses, _, _) = jax.jit(
+            lambda v, b, z=use_z: P.forward_train(
+                models, v, b, cfg, jax.random.PRNGKey(99),
+                jnp.asarray(z), train=True)
+        )(variables, batch)
+        names = [str(n) for n in oracle[f"train_loss_names{tag}"]]
+        ref_vals = oracle[f"train_losses{tag}"]
+        tl = {}
+        max_rel = 0.0
+        for i, n in enumerate(names):
+            got = float(losses[n])
+            rel = abs(got - ref_vals[i]) / (abs(ref_vals[i]) + 1e-3)
+            tl[n] = {"chip": got, "oracle": float(ref_vals[i]),
+                     "rel": float(rel)}
+            max_rel = max(max_rel, rel)
+            gate(f"train_loss{tag}[{n}].rel", rel,
+                 bound=bounds.get(n, default))
+        report[f"train_losses{tag}"] = tl
+        report[f"train_loss{tag}.max_rel"] = max_rel
+        log(f"[train{tag or ' z'}] loss dict max_rel={max_rel:.4g}")
 
     # gradient probes: Mosaic vs the CPU interpret-mode goldens. The grads
     # are MB-scale, so upload the goldens and compare ON DEVICE (D2H

@@ -19,6 +19,10 @@ per dispatch, default 4; reports ms per real step).
 AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
 AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0. AB_VARIANT
 restricts to one arm; AB_MEM=1 adds compiled HBM temp footprints.
+AB_DONATE=0 (dispatch mode only) turns off donation of the TrainState.
+AB_XLA=key=val[,key=val] (dispatch mode only) forwards XLA compiler
+options to the step jit, e.g.
+AB_XLA=xla_tpu_enable_latency_hiding_scheduler=false.
 """
 
 import os
@@ -69,8 +73,11 @@ def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
     # whether the large-batch residual is scheduler choice, not the graph
     copts = None
     if os.environ.get("AB_XLA"):
-        copts = dict(kv.split("=", 1)
-                     for kv in os.environ["AB_XLA"].split(","))
+        entries = os.environ["AB_XLA"].split(",")
+        bad = [kv for kv in entries if "=" not in kv]
+        if bad:
+            raise SystemExit(f"AB_XLA entries must be key=val; bad: {bad}")
+        copts = dict(kv.split("=", 1) for kv in entries)
     if os.environ.get("AB_DONATE") == "0":
         # same step body, donation off: costs a params+opt-state double
         # buffer (~0.36 GB) but frees XLA from aliasing input and output
@@ -242,6 +249,14 @@ def main():
     if field not in ("planar", "colwin"):
         raise SystemExit(f"AB_FIELD must be 'planar' or 'colwin'; got "
                          f"{field!r}")
+    # AB_DONATE / AB_XLA only steer the dispatch-mode jit; silently
+    # ignoring them elsewhere would mislabel the measured variant
+    if os.environ.get("AB_MODE", "") != "dispatch":
+        for knob in ("AB_DONATE", "AB_XLA"):
+            if os.environ.get(knob):
+                raise SystemExit(
+                    f"{knob} applies only to AB_MODE=dispatch "
+                    f"(got AB_MODE={os.environ.get('AB_MODE', '')!r})")
     for bs in sizes:
         row = {}
         for on in variants:
