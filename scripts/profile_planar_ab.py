@@ -56,7 +56,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
+def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2,
+                       copts=None, donate=None):
     """Time the PRODUCTION program: the donated single-step jit from
     train/state.py, dispatched N times with the state chained call-to-call
     (step i+1 consumes step i's state, so the device serializes them),
@@ -65,20 +66,24 @@ def time_step_dispatch(cfg, batch_size, n_long=12, n_short=2):
     block_until_ready. Long/short differencing cancels the dispatch
     pipeline fill and the one-time transfer latency. Unlike the scan
     harnesses, this compiles and measures exactly what Trainer.train runs.
+
+    ``copts``/``donate`` override the AB_XLA / AB_DONATE env knobs when
+    given (scripts/xla_sweep.py drives this directly).
     """
     models = build_models(cfg)
     state0, tx = S.create_train_state(models, cfg, jax.random.PRNGKey(0))
     # AB_XLA="key=val,key=val" forwards XLA compiler options to this jit
     # only (e.g. xla_tpu_enable_latency_hiding_scheduler=false) -- probes
     # whether the large-batch residual is scheduler choice, not the graph
-    copts = None
-    if os.environ.get("AB_XLA"):
+    if copts is None and os.environ.get("AB_XLA"):
         entries = os.environ["AB_XLA"].split(",")
         bad = [kv for kv in entries if "=" not in kv]
         if bad:
             raise SystemExit(f"AB_XLA entries must be key=val; bad: {bad}")
         copts = dict(kv.split("=", 1) for kv in entries)
-    if os.environ.get("AB_DONATE") == "0":
+    if donate is None:
+        donate = os.environ.get("AB_DONATE") != "0"
+    if not donate:
         # same step body, donation off: costs a params+opt-state double
         # buffer (~0.36 GB) but frees XLA from aliasing input and output
         # state buffers, which can change the schedule it picks
