@@ -75,10 +75,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by other processes (the
+    torch.distributed.launch N-rank regime; reference:
+    train_movedepth.sh:15). Placement must then go through
+    ``jax.make_array_from_process_local_data`` -- ``device_put`` can only
+    target this process's addressable devices."""
+    if jax.process_count() == 1:
+        return False
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _place(x, mesh: Mesh, s: NamedSharding):
+    if is_multiprocess(mesh):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return jax.device_put(x, s)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, sharded over ``data``."""
+    """Place a host batch onto the mesh, sharded over ``data``.
+
+    Single process: the batch is the global batch. Multi-process: each
+    process passes its LOCAL loader rows (rank-strided shard, the
+    DistributedSampler contract) and the global array is assembled across
+    processes (global batch = world_size x local batch).
+    """
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(lambda x: _place(x, mesh, s), batch)
 
 
 def shard_stacked_batch(batches, mesh: Mesh):
@@ -86,13 +110,36 @@ def shard_stacked_batch(batches, mesh: Mesh):
     the step axis K is replicated (scanned over on every device), the
     batch axis is sharded over ``data``."""
     s = NamedSharding(mesh, P(None, "data"))
-    return jax.tree.map(lambda x: jax.device_put(x, s), batches)
+    return jax.tree.map(lambda x: _place(x, mesh, s), batches)
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate params/state across the mesh."""
+    """Replicate params/state/scalars across the mesh (multi-process: every
+    process must hold an identical host copy, e.g. same-seed init)."""
     s = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: _place(x, mesh, s), tree)
+
+
+def local_array(x) -> np.ndarray:
+    """Host view of an array: this process's rows.
+
+    Fully-addressable arrays (single process, or host numpy) convert
+    directly. Global multi-process arrays: replicated values return the
+    local copy; leading-axis ``data``-sharded values return the
+    concatenation of this process's shards -- exactly the rows this
+    host's loader produced. (Only leading-axis or fully-replicated
+    shardings are supported; that covers every logged tensor.)
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    by_index = {}
+    for sh in x.addressable_shards:
+        key = tuple((sl.start or 0) for sl in sh.index)
+        by_index.setdefault(key, sh.data)
+    shards = [np.asarray(d) for _, d in sorted(by_index.items())]
+    if len(shards) == 1:
+        return shards[0]
+    return np.concatenate(shards, axis=0)
 
 
 def initialize_distributed(coordinator: Optional[str] = None,

@@ -40,16 +40,35 @@ def save_config(log_path: str, cfg: Config) -> str:
     return path
 
 
+def _checkpointer():
+    """Single-process-scoped checkpointer.
+
+    Saves here are rank-0-gated by the Trainer (the reference's write-once
+    contract, trainer.py:810), and restores run independently per process
+    -- so in a multi-process run the default Orbax barriers (which expect
+    EVERY process to enter save/restore) would deadlock. Scope the barrier
+    set to this process alone; state is host numpy by then.
+    """
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        opts = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"p{me}")
+        return ocp.Checkpointer(ocp.StandardCheckpointHandler(),
+                                multiprocessing_options=opts)
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(log_path: str, state: Any, epoch: Optional[int] = None,
                     step: Optional[int] = None, last: bool = False) -> str:
     path = _ckpt_dir(log_path, epoch, step, last)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
     return path
 
 
 def restore_checkpoint(path: str, state_template: Any) -> Any:
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), state_template)
 
 
@@ -59,7 +78,7 @@ def restore_partial_params(path: str, params: dict, batch_stats: dict,
     (mono warm start; reference: trainer.py:833-844 restores the full
     state dict per model, so running_mean/var come along — a warmed mono
     encoder with fresh BN stats would emit a garbage depth prior)."""
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         full = ckptr.restore(os.path.abspath(path))
     out_p, out_s = dict(params), dict(batch_stats)
     for n in names:

@@ -14,6 +14,8 @@ from typing import Dict
 
 import numpy as np
 
+from movedepth_tpu.parallel.mesh import local_array
+
 
 def colormap(x: np.ndarray, normalize: bool = True) -> np.ndarray:
     """(H, W) -> (3, H, W) plasma colormap (reference: trainer.py:883-911)."""
@@ -91,7 +93,9 @@ class MetricsLogger:
         if self.rank != 0 or mode not in self.writers:
             return
         w = self.writers[mode]
-        color = np.asarray(batch["color"])
+        # local_array: multi-process outputs are data-sharded global
+        # arrays; panels show this host's rows (== its loader rows).
+        color = local_array(batch["color"])
         n = min(max_images, color.shape[0])
         for j in range(n):
             for fi in range(color.shape[1]):
@@ -100,12 +104,12 @@ class MetricsLogger:
             if "warped" in outputs:
                 for f, img in outputs["warped"].items():
                     w.add_image(f"color_pred_{f}_0/{j}",
-                                np.asarray(img)[j].transpose(2, 0, 1), step)
+                                local_array(img)[j].transpose(2, 0, 1), step)
             w.add_image(f"disp_mono/{j}",
-                        colormap(np.asarray(outputs["disp_0"])[j, ..., 0]),
+                        colormap(local_array(outputs["disp_0"])[j, ..., 0]),
                         step)
             w.add_image(f"disp_mvs/{j}",
-                        colormap(1.0 / np.asarray(outputs["depth_mvs"])[j]),
+                        colormap(1.0 / local_array(outputs["depth_mvs"])[j]),
                         step)
 
     def close(self):

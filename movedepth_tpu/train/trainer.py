@@ -172,6 +172,16 @@ class Trainer:
         if rank == 0:
             C.save_config(self.log_path, cfg)
 
+        # True multi-process run (the torch.distributed.launch regime,
+        # reference: train_movedepth.sh:15): every host built the same
+        # state (same seed / same restored checkpoint), so replicate it
+        # onto the global mesh explicitly -- process-local arrays cannot
+        # feed a computation spanning other processes' devices.
+        self._mp = mesh is not None and M.is_multiprocess(mesh)
+        self._regather = None
+        if self._mp:
+            self.state = M.replicate(self.state, mesh)
+
         self.epoch = 0
         # Resume continues the epoch clock: the optimizer step count lives
         # in the TrainState (restored above), so a mid-training restore
@@ -225,10 +235,32 @@ class Trainer:
 
     def _put(self, batch):
         device_batch = {k: v for k, v in batch.items() if k != "depth_gt"}
-        device_batch = jax.tree.map(jnp.asarray, device_batch)
         if self.mesh is not None:
-            device_batch = M.shard_batch(device_batch, self.mesh)
-        return device_batch
+            return M.shard_batch(device_batch, self.mesh)
+        return jax.tree.map(jnp.asarray, device_batch)
+
+    def _rep(self, x):
+        """Replicate a per-step scalar/key onto a multi-process mesh
+        (every rank derives the identical value from the shared seed)."""
+        if self._mp:
+            return M.replicate(x, self.mesh)
+        return x
+
+    def _host_state(self):
+        """Host copy of the state for checkpoint writes.
+
+        Multi-process: GSPMD may have left some leaves sharded over the
+        mesh (e.g. model-axis-sharded reg3d kernels), so re-gather to
+        replicated with a collective identity program -- EVERY rank must
+        call this at the same point (the write itself is rank-0-gated by
+        the callers).
+        """
+        if not self._mp:
+            return self.state
+        if self._regather is None:
+            self._regather = jax.jit(
+                lambda t: t, out_shardings=M.replicated(self.mesh))
+        return jax.tree.map(M.local_array, self._regather(self.state))
 
     def _put_stacked(self, batches):
         """Stack K host batches on a leading step axis and place them."""
@@ -274,11 +306,12 @@ class Trainer:
                 subs.append(sub)
             stacked = self._put_stacked(group)
             self.state, losses = self.train_multistep(
-                self.state, stacked, jnp.stack(subs), use_z)
+                self.state, stacked, self._rep(jnp.stack(subs)), use_z)
             dt = (time.time() - t0) / k
             for s in range(k):
                 if self._log_cadence(batch_idx + s, self.step + s):
-                    host_losses = {n: float(v[s]) for n, v in losses.items()}
+                    host_losses = {n: float(M.local_array(v)[s])
+                                   for n, v in losses.items()}
                     self.logger.log_time(self.epoch, batch_idx + s,
                                          self.step + s, dt,
                                          host_losses["loss"])
@@ -287,7 +320,8 @@ class Trainer:
                     variables = S.combine_variables(self.state.params,
                                                     self.state.batch_stats)
                     _, outputs = self._val_forward(
-                        variables, self._put(group[s]), sub2, use_z)
+                        variables, self._put(group[s]), self._rep(sub2),
+                        use_z)
                     if "depth_gt" in group[s]:
                         host_losses.update(garg_depth_metrics(
                             np.asarray(outputs["depth_mono"]),
@@ -297,14 +331,16 @@ class Trainer:
                     self.logger.log_images("train", group[s], outputs,
                                            self.step + s)
                     self.validate(use_z)
-                if (cfg.save_intermediate_models and self.rank == 0
+                if (cfg.save_intermediate_models
                         and (self.step + s) % 2000 == 0):
                     # per-step snapshot dirs (reference: trainer.py:291-292)
                     # NB: intra-group states are never materialized, so the
                     # snapshot holds the end-of-group state (<= K-1 steps
                     # ahead of its label).
-                    C.save_checkpoint(self.log_path, self.state, self.epoch,
-                                      step=self.step + s)
+                    host_state = self._host_state()
+                    if self.rank == 0:
+                        C.save_checkpoint(self.log_path, host_state,
+                                          self.epoch, step=self.step + s)
             self.step += k
             batch_idx += k
         for batch in group:  # tail (< k batches left in the epoch)
@@ -316,7 +352,7 @@ class Trainer:
 
     def run_epoch(self):
         cfg = self.cfg
-        use_z = jnp.asarray(self.epoch > cfg.ztrans_start_epc)
+        use_z = self._rep(jnp.asarray(self.epoch > cfg.ztrans_start_epc))
         if cfg.steps_per_dispatch > 1:
             return self.run_epoch_multistep(use_z)
         for batch_idx, batch in enumerate(self.train_loader.epoch(self.epoch)):
@@ -332,25 +368,29 @@ class Trainer:
             self.rng, sub = jax.random.split(self.rng)
             device_batch = self._put(batch)
             self.state, losses, outputs = self.train_step(
-                self.state, device_batch, sub, use_z)
+                self.state, device_batch, self._rep(sub), use_z)
 
             late = self.step % 2000 == 0
             if self._log_cadence(batch_idx, self.step):
-                loss_val = float(losses["loss"])
+                loss_val = float(M.local_array(losses["loss"]))
                 self.logger.log_time(self.epoch, batch_idx, self.step,
                                      time.time() - t0, loss_val)
-                host_losses = {k: float(v) for k, v in losses.items()}
+                host_losses = {k: float(M.local_array(v))
+                               for k, v in losses.items()}
                 if "depth_gt" in batch:
                     host_losses.update(garg_depth_metrics(
-                        np.asarray(outputs["depth_mono"]),
+                        M.local_array(outputs["depth_mono"]),
                         batch["depth_gt"]))
                 self.logger.log_scalars("train", host_losses, self.step)
                 self.logger.log_images("train", batch, outputs, self.step)
                 self.validate(use_z)
-            if cfg.save_intermediate_models and late and self.rank == 0:
-                # per-step snapshot dirs (reference: trainer.py:291-292)
-                C.save_checkpoint(self.log_path, self.state, self.epoch,
-                                  step=self.step)
+            if cfg.save_intermediate_models and late:
+                # per-step snapshot dirs (reference: trainer.py:291-292);
+                # _host_state is collective (all ranks), write is rank-0
+                host_state = self._host_state()
+                if self.rank == 0:
+                    C.save_checkpoint(self.log_path, host_state,
+                                      self.epoch, step=self.step)
             self.step += 1
 
     def validate(self, use_z):
@@ -365,12 +405,12 @@ class Trainer:
         self.rng, sub = jax.random.split(self.rng)
         variables = S.combine_variables(self.state.params,
                                         self.state.batch_stats)
-        losses, outputs = self._val_forward(variables, self._put(batch), sub,
-                                            use_z)
-        host_losses = {k: float(v) for k, v in losses.items()}
+        losses, outputs = self._val_forward(variables, self._put(batch),
+                                            self._rep(sub), use_z)
+        host_losses = {k: float(M.local_array(v)) for k, v in losses.items()}
         if "depth_gt" in batch:
             host_losses.update(garg_depth_metrics(
-                np.asarray(outputs["depth_mono"]), batch["depth_gt"]))
+                M.local_array(outputs["depth_mono"]), batch["depth_gt"]))
         self.logger.log_scalars("val", host_losses, self.step)
         self.logger.log_images("val", batch, outputs, self.step)
 
@@ -382,8 +422,11 @@ class Trainer:
         start_epoch = min(self.step // self.steps_per_epoch, cfg.num_epochs)
         for self.epoch in range(start_epoch, cfg.num_epochs):
             self.run_epoch()
-            if self.rank == 0 and (self.epoch + 1) % cfg.save_frequency == 0:
-                C.save_checkpoint(self.log_path, self.state, self.epoch)
+            if (self.epoch + 1) % cfg.save_frequency == 0:
+                host_state = self._host_state()
+                if self.rank == 0:
+                    C.save_checkpoint(self.log_path, host_state, self.epoch)
+        host_state = self._host_state()
         if self.rank == 0:
-            C.save_checkpoint(self.log_path, self.state, last=True)
+            C.save_checkpoint(self.log_path, host_state, last=True)
         self.logger.close()
