@@ -153,6 +153,13 @@ class Config:
     # epilogue anyway and the fold adds real reshape traffic
     # (PROFILE.md 2026-08-19). Kept as a tested option
     planar_losses: bool = False
+    # compute the photometric L1 map inside the image-warp Pallas kernel's
+    # epilogue (ops/pallas/image_warp.py, ``target=``): the per-frame
+    # warped stack never round-trips HBM for the L1 tail, and the L1
+    # cotangent folds into the same coordinate-VJP launch. Identical math
+    # to the XLA tail (cast-then-sum parity). NHWC-path only; A/B via
+    # scripts/profile_planar_ab.py AB_FIELD=kernel_l1
+    kernel_l1: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
     # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
     # fits the 16 GB HBM; at/below it, full-speed (no recompute). With the
@@ -174,6 +181,14 @@ class Config:
     # tunnel). Train-image logging is recomputed out of band at log
     # events.
     steps_per_dispatch: int = 1
+    # XLA scoped-VMEM budget (KiB) for the train-step jit, 0 = compiler
+    # default. The round-5 flag sweep (scripts/xla_sweep.py,
+    # artifacts/xla_sweep.json) found the default budget mis-scheduling
+    # the large-batch step: 32768 is neutral at batch 8 and 1.44x at
+    # batch 16 (485.6 vs 701.5 ms = 33.0 ex/s/chip) / 1.35x at batch 24
+    # on chip; >= 49152 OOM-kills the compile helper. TPU-only (ignored
+    # on other backends)
+    scoped_vmem_limit_kib: int = 32768
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks
     # (faster backward, a few GB more residuals)

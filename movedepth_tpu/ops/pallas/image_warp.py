@@ -251,13 +251,25 @@ def _src_window(srcT_ref, r0, rw_c, c0, CW, R, C):
     return srcT_ref[0, rsl, pl.ds(pl.multiple_of(c0, _LANE_ALIGN), CW)]
 
 
-def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, CW, XB):
+def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, *refs, R, C, RW, CW, XB,
+                    NC=0):
     """Forward: outT[c, x] = sum_r VT[r*C+c, x] * (srcW @ HT)[r*C+c, x].
 
     With CW set, output columns run in XB-wide chunks whose horizontal
     taps sit in an epipolar disparity band: the H contraction reads a
     CW-column source window (K drops W -> CW) and the one-hot builds
-    shrink from (W, W) to (CW, XB) per chunk."""
+    shrink from (W, W) to (CW, XB) per chunk.
+
+    With NC > 0 (the L1 epilogue), an extra target input ``tgtT_ref``
+    precedes the outputs and a second output ``l1_ref`` follows: the
+    per-pixel photometric L1 mean over the NC real channels,
+    |warp(src) - target| -- computed from the STORE-dtype warped values
+    (hi+lo recombined for the bf16 split path), so it equals the XLA tail
+    computed from the kernel's output bit for bit."""
+    if NC:
+        tgt_ref, out_ref, l1_ref = refs
+    else:
+        (out_ref,) = refs
     db, w = sx_ref.shape[1], sx_ref.shape[4]
     dt = srcT_ref.dtype
     prec = (lax.Precision.HIGHEST if dt == jnp.float32
@@ -301,33 +313,66 @@ def _warp_cw_kernel(sx_ref, sy_ref, srcT_ref, out_ref, *, R, C, RW, CW, XB):
                          preferred_element_type=jnp.float32)
             for i in range(sg):
                 hv = _chunk_sum_rows(hi[:, i * xw:(i + 1) * xw] * vts[i], C)
+                hvs = hv.astype(out_ref.dtype)
                 if CW is None:
-                    out_ref[0, g + i, 0] = hv.astype(out_ref.dtype)
+                    out_ref[0, g + i, 0] = hvs
                 else:
-                    out_ref[0, g + i, 0, :, xsl] = hv.astype(out_ref.dtype)
+                    out_ref[0, g + i, 0, :, xsl] = hvs
+                if NC:
+                    # recombine exactly like the XLA tail: cast-then-sum
+                    wf = hvs.astype(jnp.float32)
+                    c4 = C if dt == jnp.float32 else C // 2
+                    wsum = wf[:NC] if c4 == C else wf[:NC] + wf[c4:c4 + NC]
+                    diff = jnp.abs(wsum - tgt_ref[0, 0, :NC, xsl])
+                    # true division: bit-matches jnp.mean's reduce+div
+                    l1 = (sum(diff[c:c + 1] for c in range(NC))
+                          / jnp.float32(NC))
+                    if CW is None:
+                        l1_ref[0, g + i, 0] = l1
+                    else:
+                        l1_ref[0, g + i, 0, :, xsl] = l1
 
 
-def _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret):
+def _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret, tgtT=None,
+                  nc=0):
     b = srcT.shape[0]
     _, d, h, w = sx.shape
     nd = d // db
     sx5 = sx.reshape(b, d, h, 1, w)  # free: metadata-only singleton
     sy5 = sy.reshape(b, d, h, 1, w)
     kernel = functools.partial(_warp_cw_kernel, R=r, C=c, RW=rw, CW=cw,
-                               XB=None if cw is None else _x_chunk_cw(w, cw))
+                               XB=None if cw is None else _x_chunk_cw(w, cw),
+                               NC=0 if tgtT is None else nc)
+    in_specs = _coord_specs_cw(w, db) + [
+        pl.BlockSpec((1, r * c, w), lambda bi, hi, di: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = jax.ShapeDtypeStruct((b, d, h, c, w), srcT.dtype)
+    out_spec = pl.BlockSpec((1, db, 1, c, w),
+                            lambda bi, hi, di: (bi, di, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    args = (sx5, sy5, srcT)
+    if tgtT is not None:
+        in_specs = in_specs + [
+            pl.BlockSpec((1, 1, tgtT.shape[2], w),
+                         lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, d, h, 1, w), jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, db, 1, 1, w),
+                                 lambda bi, hi, di: (bi, di, hi, 0, 0),
+                                 memory_space=pltpu.VMEM))
+        args = args + (tgtT,)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d, h, c, w), srcT.dtype),
+        out_shape=out_shape,
         grid=(b, h, nd),
-        in_specs=_coord_specs_cw(w, db) + [
-            pl.BlockSpec((1, r * c, w), lambda bi, hi, di: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, db, 1, c, w),
-                               lambda bi, hi, di: (bi, di, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
         interpret=interpret,
-    )(sx5, sy5, srcT)
+    )(*args)
 
 
 def _coord_bwd_cw_kernel(sx_ref, sy_ref, srcT_ref, g_ref, dref,
@@ -451,6 +496,52 @@ def _warp_cw_cdiff_bwd(r, c, rw, db, cw, interpret, res, g):
 _warp_cw_cdiff.defvjp(_warp_cw_cdiff_fwd, _warp_cw_cdiff_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _warp_cw_l1_cdiff(srcT, tgtT, sx, sy, r, c, rw, db, cw, nc,
+                      interpret=False):
+    """Windowed CW warp + in-kernel photometric L1 epilogue.
+
+    Returns (outT, l1) with l1 = mean_c |warp(src) - target| over the nc
+    real channels, computed inside the warp kernel from the store-dtype
+    values (no HBM round-trip of the warped stack for the L1 tail).
+    Differentiable wrt the coordinates only; the L1 cotangent folds into
+    the warp-output cotangent (d l1/d w_c = sign(w_c - t_c)/nc on both
+    the hi and lo channel slots) so the SAME coordinate-VJP kernel
+    serves both outputs.
+    """
+    return _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret,
+                         tgtT, nc)
+
+
+def _warp_cw_l1_cdiff_fwd(srcT, tgtT, sx, sy, r, c, rw, db, cw, nc,
+                          interpret=False):
+    out, l1 = _warp_cw_call(srcT, sx, sy, r, c, rw, db, cw, interpret,
+                            tgtT, nc)
+    return (out, l1), (srcT, tgtT, sx, sy, out)
+
+
+def _warp_cw_l1_cdiff_bwd(r, c, rw, db, cw, nc, interpret, res, g):
+    srcT, tgtT, sx, sy, out = res
+    g_out, g_l1 = g
+    c4 = c if srcT.dtype == jnp.float32 else c // 2
+    wf = out.astype(jnp.float32)  # (B, D, H, C, W)
+    wsum = (wf[:, :, :, :nc] if c4 == c
+            else wf[:, :, :, :nc] + wf[:, :, :, c4:c4 + nc])
+    # sign from the stored values == the forward's cast-then-sum values
+    sgn = jnp.sign(wsum - tgtT[:, None, :, :nc])
+    add = jnp.pad(sgn * (g_l1.astype(jnp.float32) / nc),
+                  ((0, 0), (0, 0), (0, 0), (0, c4 - nc), (0, 0)))
+    if c4 != c:
+        add = jnp.concatenate([add, add], axis=3)
+    g_eff = g_out.astype(jnp.float32) + add
+    dsx, dsy = _coord_bwd_cw_call(srcT, sx, sy, g_eff, r, c, rw, db, cw,
+                                  interpret)
+    return jnp.zeros_like(srcT), jnp.zeros_like(tgtT), dsx, dsy
+
+
+_warp_cw_l1_cdiff.defvjp(_warp_cw_l1_cdiff_fwd, _warp_cw_l1_cdiff_bwd)
+
+
 def _pad_channels(x, mult):
     c = x.shape[-1]
     pad = (-c) % mult
@@ -484,7 +575,8 @@ def warp_folded_cp(precise: bool = False) -> int:
                                              "fold_out"))
 def warp_images_border(src, sx, sy, row_window: int = 32,
                        col_window: int = 384, precise: bool = False,
-                       interpret: bool = False, fold_out: bool = False):
+                       interpret: bool = False, fold_out: bool = False,
+                       target=None):
     """Border-mode bilinear warp of images over D coordinate maps.
 
     src: (B, R, W, C) f32 images; sx, sy: (B, D, R, W) unnormalized pixel
@@ -505,6 +597,14 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     K drops from W to CW and the one-hot builds shrink (W, W) ->
     (CW, XB) per chunk. 0 disables; a host-side coverage check falls
     back to the row-only rung when the disparity band overflows.
+
+    ``target`` (B, R, W, C) f32 switches on the in-kernel photometric L1
+    epilogue: the return becomes ``(warped, l1)`` with l1 (B, D, R, W)
+    f32 equal to ``mean_c |warped - target|`` computed from the kernel's
+    store-dtype values (bit-identical to the XLA tail on the Pallas
+    rungs; exact f32 on the gather fallback, same rung-precision
+    contract as the warp itself). This replaces the reference's separate
+    L1 pass over the warped stacks (movedepth/trainer.py:535-550).
     """
     b, r, wsrc, c = src.shape
     _, d, h, w = sx.shape
@@ -533,9 +633,13 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
     db = d  # K warp maps per source frame: one block
     rw = _effective_window_cw(row_window, r, cp)
 
-    def pallas_path(width, cw):
-        out = _warp_cw_cdiff(srcT, sxc, syc, r, cp, width, db, cw,
-                             interpret)
+    tgtT = None
+    if target is not None:
+        # planar CW target rows, padded to 4 sublanes (zero pad channel)
+        tgtT = jnp.transpose(_pad_channels(target.astype(jnp.float32), 4),
+                             (0, 1, 3, 2))  # (B, H, 4, W)
+
+    def _post(out):
         out = out.astype(jnp.float32)  # (B, D, H, Cp, W)
         if not precise:
             out = out[:, :, :, :c4] + out[:, :, :, c4:]
@@ -546,12 +650,25 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
         # back to NHWC -- plain HLO, XLA picks the layouts
         return jnp.transpose(out[:, :, :, :c], (0, 1, 2, 4, 3))
 
+    def pallas_path(width, cw):
+        if tgtT is None:
+            return _post(_warp_cw_cdiff(srcT, sxc, syc, r, cp, width, db,
+                                        cw, interpret))
+        out, l1 = _warp_cw_l1_cdiff(srcT, tgtT, sxc, syc, r, cp, width,
+                                    db, cw, c, interpret)
+        return _post(out), l1.reshape(b, d, r, w)
+
     def gather_path():
         g = _gather_warp(src, sxc, syc)
         if fold_out:
             from movedepth_tpu.ops.layout import fold_image
-            return fold_image(g, c4)
-        return g
+            gout = fold_image(g, c4)
+        else:
+            gout = g
+        if tgtT is None:
+            return gout
+        l1 = jnp.mean(jnp.abs(g - target[:, None]), axis=-1)
+        return gout, l1
 
     if rw is None:
         return gather_path()

@@ -315,7 +315,8 @@ def compute_depth_bins(disp_prior, rel, use_z_bins, cfg: Config):
 
 # ----------------------------------------------------------------- loss core
 
-def _multi_warp(src, grid, use_pallas=False, col_window=384, folded=False):
+def _multi_warp(src, grid, use_pallas=False, col_window=384, folded=False,
+                target=None):
     """Warp one source image stack with K grids each: (B, K, H, W, 3),
     or -- with ``folded`` -- the kernel-native folded-planar layout
     (B, K, H*4, W) (ops/layout.py; cp=4, pad channel zero).
@@ -323,6 +324,8 @@ def _multi_warp(src, grid, use_pallas=False, col_window=384, folded=False):
     On TPU (``use_pallas``) this is the one-hot MXU kernel with a custom
     coordinate VJP (ops/pallas/image_warp.py) -- the depth/pose training
     signal flows through the grid here, unlike the cost-volume sweep.
+    With ``target`` (Pallas path only) the kernel's L1 epilogue also
+    returns the per-pixel photometric L1 map (B, K, H, W) (cfg.kernel_l1).
 
     XLA fallback: chunked over the batch so each gather op stays under
     ~6M rows: XLA's TPU gather lowering degrades ~3x beyond that (measured
@@ -336,7 +339,8 @@ def _multi_warp(src, grid, use_pallas=False, col_window=384, folded=False):
         h, w = src.shape[1], src.shape[2]
         sx, sy = grid_to_pixel(grid, h, w)
         return warp_images_border(src, sx, sy, col_window=col_window,
-                                  fold_out=folded)
+                                  fold_out=folded, target=target)
+    assert target is None, "kernel L1 epilogue requires the Pallas warp"
     if folded:
         from movedepth_tpu.ops.layout import fold_image
         return fold_image(
@@ -447,22 +451,41 @@ def photometric_losses(disps, depth_mvs_full, fused_depth, batch, cam_T_cam,
         # 2026-08-19; the earlier FLAT rank-2 boundary attempt lost
         # because un-flattening rebuilt the padded layout -- the folded
         # form unfolds with one plain transpose XLA fuses into the tail).
-        warped_f = _multi_warp(src, grid, use_pallas=use_pl,
-                               col_window=cfg.warp_col_window, folded=True)
+        # cfg.kernel_l1: the warp kernel's epilogue emits the L1 map too
+        # (the warped stack is not re-read from HBM for the L1 tail, and
+        # d l1/d coords rides the same VJP launch); the SSIM part of the
+        # reprojection still reads the warped stack.
+        k_l1 = None
+        if cfg.kernel_l1 and use_pl:
+            warped_f, k_l1 = _multi_warp(src, grid, use_pallas=True,
+                                         col_window=cfg.warp_col_window,
+                                         folded=True, target=target)
+        else:
+            warped_f = _multi_warp(src, grid, use_pallas=use_pl,
+                                   col_window=cfg.warp_col_window,
+                                   folded=True)
 
-        def _tail(warped_f, target):
+        def _tail(warped_f, target, k_l1):
             from movedepth_tpu.ops.layout import unfold_image
             warped = unfold_image(warped_f, 3)  # (B, K, H, W, 3)
             wf = warped.reshape(b * k_all, h, w, 3)
             tf = jnp.broadcast_to(target[:, None],
                                   (b, k_all, h, w, 3)).reshape(wf.shape)
-            rp, l1 = _reproj(wf, tf)
+            if k_l1 is None:
+                rp, l1 = _reproj(wf, tf)
+            else:
+                l1 = k_l1.reshape(b * k_all, h, w, 1)
+                if cfg.no_ssim:
+                    rp = l1
+                else:
+                    sm = jnp.mean(ssim(wf, tf), axis=-1, keepdims=True)
+                    rp = cfg.ssim_lw * sm + (1.0 - cfg.ssim_lw) * l1
             return (rp.reshape(b, k_all, h, w, 1),
                     l1.reshape(b, k_all, h, w, 1), warped[:, 0])
 
         if remat:  # the whole block is already rematerialized outside
-            return _tail(warped_f, target)
-        return jax.checkpoint(_tail)(warped_f, target)
+            return _tail(warped_f, target, k_l1)
+        return jax.checkpoint(_tail)(warped_f, target, k_l1)
 
     if remat:
         _frame_block = jax.checkpoint(_frame_block)

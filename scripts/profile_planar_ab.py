@@ -17,7 +17,8 @@ different outer program whose XLA schedule can differ 2x).
 AB_MODE=multistep times the SHIPPED make_train_multistep (AB_K steps
 per dispatch, default 4; reports ms per real step).
 AB_FIELD=planar (default) A/Bs cfg.planar_losses on/off;
-AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0. AB_VARIANT
+AB_FIELD=colwin A/Bs cfg.warp_col_window 384 (default) vs 0;
+AB_FIELD=kernel_l1 A/Bs the warp-kernel L1 epilogue on/off. AB_VARIANT
 restricts to one arm; AB_MEM=1 adds compiled HBM temp footprints.
 AB_DONATE=0 (dispatch mode only) turns off donation of the TrainState.
 AB_XLA=key=val[,key=val] (dispatch mode only) forwards XLA compiler
@@ -251,9 +252,9 @@ def main():
                          f"got {only!r}")
     variants = {"on": (True,), "off": (False,)}.get(only, (True, False))
     field = os.environ.get("AB_FIELD", "planar")
-    if field not in ("planar", "colwin"):
-        raise SystemExit(f"AB_FIELD must be 'planar' or 'colwin'; got "
-                         f"{field!r}")
+    if field not in ("planar", "colwin", "kernel_l1"):
+        raise SystemExit(f"AB_FIELD must be 'planar', 'colwin', or "
+                         f"'kernel_l1'; got {field!r}")
     # AB_DONATE / AB_XLA only steer the dispatch-mode jit; silently
     # ignoring them elsewhere would mislabel the measured variant
     if os.environ.get("AB_MODE", "") != "dispatch":
@@ -267,6 +268,9 @@ def main():
         for on in variants:
             if field == "planar":
                 cfg = Config(batch_size=bs, planar_losses=on,
+                             height=hw[0], width=hw[1])
+            elif field == "kernel_l1":
+                cfg = Config(batch_size=bs, kernel_l1=on,
                              height=hw[0], width=hw[1])
             else:
                 cfg = Config(batch_size=bs, warp_col_window=384 if on else 0,

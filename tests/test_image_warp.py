@@ -181,3 +181,56 @@ def test_image_warp_col_window_overflow_falls_back(rng):
                              interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6)
+
+
+def test_image_warp_l1_epilogue_matches_tail(rng):
+    """In-kernel L1 epilogue == the XLA tail computed from the SAME
+    warped output (cast-then-sum parity on the bf16x2 production path),
+    for both the plain and fold_out call shapes."""
+    b, d, r, w, c = 1, 3, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    for precise in (True, False):  # ends on the production bf16x2 path
+        warped = warp_images_border(src, sx, sy, precise=precise,
+                                    interpret=True)
+        got_w, got_l1 = warp_images_border(src, sx, sy, precise=precise,
+                                           interpret=True, target=tgt)
+        np.testing.assert_array_equal(np.asarray(got_w), np.asarray(warped))
+        want_l1 = jnp.mean(jnp.abs(warped - tgt[:, None]), axis=-1)
+        np.testing.assert_allclose(np.asarray(got_l1), np.asarray(want_l1),
+                                   atol=3e-7)
+    # folded output: the l1 co-output is identical
+    fw, fl1 = warp_images_border(src, sx, sy, interpret=True, target=tgt,
+                                 fold_out=True)
+    np.testing.assert_allclose(np.asarray(fl1), np.asarray(got_l1),
+                               atol=3e-7)
+    assert fw.shape == (b, d, r * 4, w)
+
+
+def test_image_warp_l1_epilogue_gradient(rng):
+    """The fused (warp, l1) VJP == grad of the unfused composition: the
+    L1 cotangent folds into the warp-output cotangent inside the same
+    coordinate-VJP kernel."""
+    b, d, r, w, c = 1, 2, 64, 96, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, d, r, w)).astype(np.float32))
+
+    def loss_fused(a, b2):
+        out, l1 = warp_images_border(src, a, b2, precise=True,
+                                     interpret=True, target=tgt)
+        return jnp.sum(l1 * wgt) + jnp.sum(out[..., 0] * 0.25)
+
+    def loss_unfused(a, b2):
+        out = warp_images_border(src, a, b2, precise=True, interpret=True)
+        l1 = jnp.mean(jnp.abs(out - tgt[:, None]), axis=-1)
+        return jnp.sum(l1 * wgt) + jnp.sum(out[..., 0] * 0.25)
+
+    gx_f, gy_f = jax.grad(loss_fused, (0, 1))(sx, sy)
+    gx_u, gy_u = jax.grad(loss_unfused, (0, 1))(sx, sy)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_u),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_u),
+                               atol=1e-4)
