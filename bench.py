@@ -62,7 +62,13 @@ def make_bench_fn(models, cfg, n_iters):
         final, _ = lax.scan(body, jnp.float32(0), None, length=n_iters)
         return final
 
-    return jax.jit(fn)
+    # BENCH_XLA=key=val[,key=val]: forward XLA compiler options to the
+    # bench jit (diagnostics/A-B only; the graded run leaves it unset)
+    copts = None
+    if os.environ.get("BENCH_XLA"):
+        copts = dict(kv.split("=", 1)
+                     for kv in os.environ["BENCH_XLA"].split(","))
+    return jax.jit(fn, compiler_options=copts)
 
 
 def timed(fn, variables, batch):
@@ -170,9 +176,12 @@ def main():
     check_chip_parity_gate()
     log(f"pose temper: {'on (trained-checkpoint regime)' if TEMPER else 'OFF (fresh-init regime)'}")
     fps = None
+    # BENCH_ARCH=50: ResNet50 encoder row (BASELINE config 3's backbone;
+    # diagnostics only -- the graded run leaves it unset = shipped res18)
+    arch = int(os.environ.get("BENCH_ARCH", "18"))
     for name, overrides in KERNEL_TIERS:
         # shipped config: 192x640, ResNet18, 16 bins, convex up, bf16
-        cfg = Config().replace(**overrides)
+        cfg = Config().replace(res_arch=arch, **overrides)
         try:
             log(f"tier: {name}")
             fps = run_tier(cfg)
