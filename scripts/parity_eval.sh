@@ -43,8 +43,22 @@ from movedepth_tpu.config import Config, validate
 # test_movedepth.sh:10-22): eigen split, 640x192, convex_up, 16 bins
 png = not glob.glob(os.path.join(
     kitti, "*", "*", "image_02", "data", "*.jpg"))
+
+# sniff the encoder architecture from the checkpoint itself: a
+# bottleneck conv3 key means torchvision resnet50+ (reference releases
+# ship both res18 and res50 models, networks/resnet_encoder.py:95-108)
+res_arch = 18
+enc_pth = os.path.join(ckpt, "encoder.pth")
+if os.path.exists(enc_pth):
+    import torch
+    sd = torch.load(enc_pth, map_location="cpu", weights_only=True)
+    if any("layer1.0.conv3" in k for k in sd):
+        res_arch = 50
+    del sd
+print(f"encoder arch from checkpoint: resnet{res_arch}", flush=True)
+
 cfg = Config(data_path=kitti, eval_split="eigen", png=png,
-             load_weights_folder=ckpt)
+             load_weights_folder=ckpt, res_arch=res_arch)
 # PARITY_CFG_OVERRIDES="height=64,width=96,..." lets the smoke test run
 # the whole runbook on a tiny synthetic tree; unset for the real protocol
 for item in filter(None, os.environ.get("PARITY_CFG_OVERRIDES",
