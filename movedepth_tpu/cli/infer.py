@@ -32,7 +32,7 @@ from PIL import Image
 
 from movedepth_tpu.cli.evaluate import load_variables
 from movedepth_tpu.cli.options import add_config_args, config_from_args
-from movedepth_tpu.config import Config
+from movedepth_tpu.config import Config, xla_compiler_options
 from movedepth_tpu.models import build_models
 from movedepth_tpu import pipeline as P
 
@@ -86,13 +86,16 @@ def run(cfg: Config, image_path: str, out_dir: str, mono: bool, png: bool,
     K = K_override if K_override is not None else _normalized_kitti_K(h, w)
     invK = np.linalg.inv(K)
 
-    mono_fn = jax.jit(lambda v, b: P.forward_mono_infer(models, v, b, cfg))
+    copts = xla_compiler_options(cfg)
+    mono_fn = jax.jit(lambda v, b: P.forward_mono_infer(models, v, b, cfg),
+                      compiler_options=copts)
     # --fused: the learned mono/MVS blend via mask_cnn on the cost-volume
     # entropy (BASELINE config 3) -- the depth users actually train; the
     # reference has no way to produce it (mask_cnn unused at eval,
     # reference: movedepth/evaluate_depth.py:170-174)
     infer_fn = P.forward_infer_fused if fused else P.forward_infer
-    mvs_fn = jax.jit(lambda v, b: infer_fn(models, v, b, cfg))
+    mvs_fn = jax.jit(lambda v, b: infer_fn(models, v, b, cfg),
+                     compiler_options=copts)
     depth_key = "depth_fused" if fused else "depth_mvs"
 
     prev = None

@@ -274,6 +274,24 @@ KERNEL_TIERS: Tuple[Tuple[str, dict], ...] = (
 )
 
 
+def xla_compiler_options(cfg: Config) -> Optional[dict]:
+    """Per-jit XLA options for the hot programs (train step, inference).
+
+    ``scoped_vmem_limit_kib=32768``: the round-5 flag sweep
+    (scripts/xla_sweep.py, PROFILE.md) measured the default scoped-VMEM
+    budget starving async-copy staging: the 32 MiB cap is 1.44x on the
+    batch-16 train step (33.0 ex/s/chip), 1.35x at batch 24, neutral at
+    batch 8, and +4.5% on batch-128 inference (1358.9 vs 1300.3 fps);
+    >= 48 MiB OOM-kills the compile helper. TPU-only; 0 disables.
+    """
+    import jax
+
+    if cfg.scoped_vmem_limit_kib and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib":
+                str(cfg.scoped_vmem_limit_kib)}
+    return None
+
+
 def validate(cfg: Config) -> Config:
     """Shape/consistency checks (reference: trainer.py:39-57)."""
     if cfg.height % 32 != 0:

@@ -13,6 +13,7 @@ cv2-based protocol bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from typing import Dict, Optional
@@ -21,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from movedepth_tpu.config import Config
+from movedepth_tpu.config import Config, xla_compiler_options
 from movedepth_tpu import pipeline as P
 from movedepth_tpu.models import build_models
 from movedepth_tpu.data.kitti import KITTIRawDataset, readlines
@@ -96,12 +97,14 @@ def predict_disparities(variables, cfg: Config, data_path: str,
 
     models = build_models(cfg)
 
-    @jax.jit
+    copts = xla_compiler_options(cfg)
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def infer(variables, batch):
         out = P.forward_infer_fused(models, variables, batch, cfg)
         return out["disp_mono"], 1.0 / out["depth_mvs"], out["disp_fused"]
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=copts)
     def infer_flipped(variables, batch):
         fb = dict(batch)
         fb["color"] = batch["color"][..., ::-1, :]

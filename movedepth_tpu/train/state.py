@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from movedepth_tpu.config import Config
+from movedepth_tpu.config import Config, xla_compiler_options
 from movedepth_tpu.pipeline import forward_train
 
 # models updated at base LR vs lr*lr_fac (reference: trainer.py:67-131)
@@ -137,21 +137,6 @@ def create_train_state(models, cfg: Config, rng,
     return state, tx
 
 
-def _train_compiler_options(cfg: Config):
-    """Per-jit XLA options for the train step.
-
-    ``scoped_vmem_limit_kib``: the round-5 compiler-flag sweep
-    (scripts/xla_sweep.py, artifacts/xla_sweep.json) measured the default
-    scoped-VMEM budget mis-scheduling the large-batch step: capping it at
-    32 MiB is neutral at batch 8 (264.1 vs 266.2 ms) and 1.44x at batch
-    16 (485.6 vs 701.5 ms = 33.0 ex/s/chip) / 1.35x at batch 24 on the
-    real chip; >= 48 MiB OOM-kills the compile helper. 0 disables the
-    override (compiler default).
-    """
-    if cfg.scoped_vmem_limit_kib and jax.default_backend() == "tpu":
-        return {"xla_tpu_scoped_vmem_limit_kib":
-                str(cfg.scoped_vmem_limit_kib)}
-    return None
 
 
 def make_train_step(models, cfg: Config, tx):
@@ -164,7 +149,7 @@ def make_train_step(models, cfg: Config, tx):
     step = _train_step_body(models, cfg, tx)
     # donate the state: params/opt-state buffers are reused in place
     return jax.jit(step, donate_argnums=(0,),
-                   compiler_options=_train_compiler_options(cfg))
+                   compiler_options=xla_compiler_options(cfg))
 
 
 def _train_step_body(models, cfg: Config, tx):
@@ -229,4 +214,4 @@ def make_train_multistep(models, cfg: Config, tx):
         return new_state, losses
 
     # no donate_argnums: see docstring (donated carry measured slower)
-    return jax.jit(multi, compiler_options=_train_compiler_options(cfg))
+    return jax.jit(multi, compiler_options=xla_compiler_options(cfg))
