@@ -126,11 +126,19 @@ LOSS_BOUNDS = {"mvs_loss": 0.25, "mvs_reproj_loss": 0.25, "loss": 0.1}
 # moves), which is why its depth-path losses gate at 0.25 -- loose enough
 # to hide a moderate Mosaic regression confined to the depth path
 # (VERDICT r4 weak #5). The PLAIN scheduler (use_z=False: a wide
-# prior-centered band, the epoch<=8 training regime) is well-conditioned,
-# so its whole loss dict gates tight; a depth-path kernel regression
-# cannot hide in both configs.
+# prior-centered band, the epoch<=8 training regime) was ASSUMED
+# well-conditioned in round 4, but the first real chip run of this
+# config (2026-08-20) refuted that for the depth-path losses: the
+# pure-XLA CPU-bf16 control measures mvs_loss rel 0.0955 vs f32
+# (0.27251 vs 0.24876) with zero Mosaic/chip involvement -- the
+# localmax amplification is regime-independent -- and the chip reads
+# 0.154 (0.28725), bit-identical to the round-4 z-regime chip value
+# class. So the depth-path pair gates at 0.25 here too; every OTHER
+# plain loss component still gates tight (measured <= 0.052), which is
+# what the z regime cannot provide.
 PLAIN_LOSS_BOUND_DEFAULT = 5e-2
-PLAIN_LOSS_BOUNDS = {"loss": 0.1}
+PLAIN_LOSS_BOUNDS = {"loss": 0.1, "mvs_loss": 0.25,
+                     "mvs_reproj_loss": 0.25}
 
 
 def log(*a):
