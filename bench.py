@@ -62,13 +62,13 @@ def make_bench_fn(models, cfg, n_iters):
         final, _ = lax.scan(body, jnp.float32(0), None, length=n_iters)
         return final
 
-    # default: the measured production options (scoped-vmem 32 MiB cap,
-    # +4.5% on this program: 94.20 vs 98.44 ms/iter same-session, see
+    # default: the measured production options (scoped-vmem inference cap,
+    # 92.55 vs 98.44 ms/iter same-session at 40 MiB, see
     # config.xla_compiler_options). BENCH_XLA=key=val[,key=val]
     # overrides for A/Bs; BENCH_XLA=none forces compiler defaults.
     from movedepth_tpu.config import xla_compiler_options
 
-    copts = xla_compiler_options(cfg)
+    copts = xla_compiler_options(cfg, infer=True)
     env = os.environ.get("BENCH_XLA")
     if env:
         copts = (None if env == "none" else

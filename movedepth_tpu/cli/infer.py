@@ -86,7 +86,7 @@ def run(cfg: Config, image_path: str, out_dir: str, mono: bool, png: bool,
     K = K_override if K_override is not None else _normalized_kitti_K(h, w)
     invK = np.linalg.inv(K)
 
-    copts = xla_compiler_options(cfg)
+    copts = xla_compiler_options(cfg, infer=True)
     mono_fn = jax.jit(lambda v, b: P.forward_mono_infer(models, v, b, cfg),
                       compiler_options=copts)
     # --fused: the learned mono/MVS blend via mask_cnn on the cost-volume

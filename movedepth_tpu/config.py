@@ -189,6 +189,14 @@ class Config:
     # on chip; >= 49152 OOM-kills the compile helper. TPU-only (ignored
     # on other backends)
     scoped_vmem_limit_kib: int = 32768
+    # the INFERENCE programs' scoped-VMEM budget -- the optimum is
+    # program-specific: the train step wants 32 MiB (40 MiB measured
+    # 951.7 ms vs 485.6 at batch 16) while inference keeps improving to
+    # a 40-44 MiB plateau (92.55 / 92.45 ms/iter vs 94.20 at 32 MiB =
+    # 1383 fps). 40960 leaves margin below the >= 48 MiB compile-helper
+    # OOM. Used by bench/evaluate/infer via
+    # xla_compiler_options(cfg, infer=True)
+    infer_scoped_vmem_limit_kib: int = 40960
     # what the heavy path recomputes: "full" = encoders/poses too,
     # "mvs" = only the cost-volume trunk + photometric frame blocks
     # (faster backward, a few GB more residuals)
@@ -274,21 +282,22 @@ KERNEL_TIERS: Tuple[Tuple[str, dict], ...] = (
 )
 
 
-def xla_compiler_options(cfg: Config) -> Optional[dict]:
+def xla_compiler_options(cfg: Config, infer: bool = False) -> Optional[dict]:
     """Per-jit XLA options for the hot programs (train step, inference).
 
-    ``scoped_vmem_limit_kib=32768``: the round-5 flag sweep
-    (scripts/xla_sweep.py, PROFILE.md) measured the default scoped-VMEM
-    budget starving async-copy staging: the 32 MiB cap is 1.44x on the
-    batch-16 train step (33.0 ex/s/chip), 1.35x at batch 24, neutral at
-    batch 8, and +4.5% on batch-128 inference (1358.9 vs 1300.3 fps);
+    The round-5 flag sweep (scripts/xla_sweep.py, PROFILE.md) measured
+    the default scoped-VMEM budget starving async-copy staging, with a
+    program-specific optimum: 32 MiB caps the batch-16 train step 1.44x
+    (33.0 ex/s/chip; 40 MiB is 2x WORSE there), while inference peaks at
+    40 MiB (92.55 vs 98.44 ms/iter at batch 128 = 1383 fps, +6.4%);
     >= 48 MiB OOM-kills the compile helper. TPU-only; 0 disables.
     """
     import jax
 
-    if cfg.scoped_vmem_limit_kib and jax.default_backend() == "tpu":
-        return {"xla_tpu_scoped_vmem_limit_kib":
-                str(cfg.scoped_vmem_limit_kib)}
+    kib = cfg.infer_scoped_vmem_limit_kib if infer \
+        else cfg.scoped_vmem_limit_kib
+    if kib and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
     return None
 
 

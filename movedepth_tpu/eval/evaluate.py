@@ -97,7 +97,7 @@ def predict_disparities(variables, cfg: Config, data_path: str,
 
     models = build_models(cfg)
 
-    copts = xla_compiler_options(cfg)
+    copts = xla_compiler_options(cfg, infer=True)
 
     @functools.partial(jax.jit, compiler_options=copts)
     def infer(variables, batch):
