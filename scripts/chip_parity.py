@@ -327,24 +327,35 @@ def run_check():
             f"{k}={v:.4g}" for k, v in centry.items() if "p95" in k))
 
     # train loss dict, shipped bf16, both bin regimes (z-scaled loose on
-    # the depth path, plain tight everywhere -- see PLAIN_LOSS_BOUNDS)
+    # the depth path, plain tight everywhere -- see PLAIN_LOSS_BOUNDS),
+    # plus the PRODUCTION compiler options (scoped-VMEM cap,
+    # config.xla_compiler_options): a compiler option only reschedules,
+    # but rescheduling IS reassociation -- the shipped-step compilation
+    # must pass the same golden as the default one (same f32 oracle).
+    from movedepth_tpu.config import xla_compiler_options
+
     cfg = Config(batch_size=B)
     models, variables = build(cfg, True)
     batch = the_batch(cfg)
-    for use_z, tag, bounds, default in (
-            (True, "", LOSS_BOUNDS, LOSS_BOUND_DEFAULT),
-            (False, "_plain", PLAIN_LOSS_BOUNDS, PLAIN_LOSS_BOUND_DEFAULT)):
-        if f"train_loss_names{tag}" not in oracle:
-            log(f"WARNING: oracle lacks train_losses{tag} -- regenerate "
-                f"with scripts/chip_parity.py oracle; skipping")
+    for use_z, tag, bounds, default, copts in (
+            (True, "", LOSS_BOUNDS, LOSS_BOUND_DEFAULT, None),
+            (False, "_plain", PLAIN_LOSS_BOUNDS, PLAIN_LOSS_BOUND_DEFAULT,
+             None),
+            (False, "_plain_vmem", PLAIN_LOSS_BOUNDS,
+             PLAIN_LOSS_BOUND_DEFAULT, xla_compiler_options(cfg))):
+        oracle_tag = tag.replace("_vmem", "")
+        if f"train_loss_names{oracle_tag}" not in oracle:
+            log(f"WARNING: oracle lacks train_losses{oracle_tag} -- "
+                f"regenerate with scripts/chip_parity.py oracle; skipping")
             continue
         _, (losses, _, _) = jax.jit(
             lambda v, b, z=use_z: P.forward_train(
                 models, v, b, cfg, jax.random.PRNGKey(99),
-                jnp.asarray(z), train=True)
+                jnp.asarray(z), train=True),
+            compiler_options=copts,
         )(variables, batch)
-        names = [str(n) for n in oracle[f"train_loss_names{tag}"]]
-        ref_vals = oracle[f"train_losses{tag}"]
+        names = [str(n) for n in oracle[f"train_loss_names{oracle_tag}"]]
+        ref_vals = oracle[f"train_losses{oracle_tag}"]
         tl = {}
         max_rel = 0.0
         for i, n in enumerate(names):
