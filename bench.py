@@ -181,12 +181,23 @@ def main():
     check_chip_parity_gate()
     log(f"pose temper: {'on (trained-checkpoint regime)' if TEMPER else 'OFF (fresh-init regime)'}")
     fps = None
-    # BENCH_ARCH=50: ResNet50 encoder row (BASELINE config 3's backbone;
-    # diagnostics only -- the graded run leaves it unset = shipped res18)
+    # BENCH_ARCH=50: ResNet50 encoder row (BASELINE config 3's backbone);
+    # BENCH_CFG="key=val,...": generic typed config overrides for A/Bs.
+    # Both diagnostics only -- the graded run leaves them unset.
     arch = int(os.environ.get("BENCH_ARCH", "18"))
+    cfg_env = {}
+    for item in filter(None, os.environ.get("BENCH_CFG", "").split(",")):
+        k, v = item.split("=", 1)
+        cur = getattr(Config(), k)
+        if isinstance(cur, bool):
+            cfg_env[k] = v.lower() in ("1", "true")
+        elif isinstance(cur, (int, float)):
+            cfg_env[k] = type(cur)(v)
+        else:
+            cfg_env[k] = v
     for name, overrides in KERNEL_TIERS:
         # shipped config: 192x640, ResNet18, 16 bins, convex up, bf16
-        cfg = Config().replace(res_arch=arch, **overrides)
+        cfg = Config().replace(res_arch=arch, **{**overrides, **cfg_env})
         try:
             log(f"tier: {name}")
             fps = run_tier(cfg)

@@ -160,6 +160,12 @@ class Config:
     # to the XLA tail (cast-then-sum parity). NHWC-path only; A/B via
     # scripts/profile_planar_ab.py AB_FIELD=kernel_l1
     kernel_l1: bool = False
+    # subpixel-fold decoder stage 2 as well (models/depth_decoder.py
+    # fold_stage2): upconv_2_1 runs at 1/8 res with 256 output lanes
+    # instead of 64 at 1/4, and the stage-1 merged conv consumes the
+    # phase representation. Same function/params (parity-tested); default
+    # off pending a chip A/B
+    fold_stage2: bool = False
     # train batches per chip ABOVE this rematerialize the encoders, the MVS
     # trunk and the photometric frame blocks (jax.checkpoint) so batch 32
     # fits the 16 GB HBM; at/below it, full-speed (no recompute). With the

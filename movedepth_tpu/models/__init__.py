@@ -56,6 +56,7 @@ def build_models(cfg: Config, dtype: Any = None,
         "mono_encoder": ResNetEncoder(arch=cfg.res_arch, dtype=dtype,
                                       axis_name=axis_name),
         "mono_depth": DepthDecoder(num_ch_enc=ch_enc, scales=tuple(cfg.scales),
+                                   fold_stage2=cfg.fold_stage2,
                                    dtype=dtype),
         "mask_cnn": UncertNet(dtype=dtype, axis_name=axis_name),
         "mvs_encoder": FPN4(base_channels=8, scale=cfg.prior_scale,

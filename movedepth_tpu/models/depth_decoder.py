@@ -59,6 +59,14 @@ class DepthDecoder(nn.Module):
     # the phase representation directly. Requires fold_stage0+merge_heads
     # (the shipped config); same function, same params.
     fold_stage1: bool = True
+    # extend the same fold to stage 2 (upconv_2_1, 64ch at 1/4 res): the
+    # coarse conv runs at 1/8 with 256 output lanes (vs 64 at 1/4), and
+    # the stage-1 merged conv consumes the phase representation through
+    # the SAME x_phase pending branch stage 1 already feeds stage 0 with.
+    # Same function, same params (parity:
+    # tests/test_models.py::test_depth_decoder_fold_stage2_parity).
+    # Default off pending a chip A/B (cfg.fold_stage2).
+    fold_stage2: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -78,6 +86,9 @@ class DepthDecoder(nn.Module):
         fold1 = (fold0 and self.fold_stage1 and self.merge_heads
                  and self.use_skips and 1 in self.scales
                  and skip0.shape[1] % 2 == 0 and skip0.shape[2] % 2 == 0)
+        skip1 = input_features[1]
+        fold2 = (fold1 and self.fold_stage2 and 2 in self.scales
+                 and skip1.shape[1] % 2 == 0 and skip1.shape[2] % 2 == 0)
         x = input_features[-1]
         x_phase = False  # x held as 2x2 subpixel phases (half fine res)
         pending = None  # disp head deferred into the next stage's conv
@@ -124,12 +135,14 @@ class DepthDecoder(nn.Module):
             else:
                 x = ConvBlock(num_ch_out, dtype=self.dtype,
                               name=f"upconv_{i}_0")(x)
-            if i == 1 and fold1:
-                # upsample + skip-concat + upconv_1_1 as ONE coarse conv:
+            if (i == 1 and fold1) or (i == 2 and fold2):
+                # upsample + skip-concat + upconv_{i}_1 as ONE coarse conv:
                 # the up2(x) part folds via fold_up2_kernel, the skip part
                 # reads space_to_depth(skip) via fold_phase2_kernel; the
-                # output stays in phase form for the stage-0 merged conv
-                cin_x, cin_s = x.shape[-1], skip0.shape[-1]
+                # output stays in phase form for the NEXT stage's merged
+                # conv (the x_phase pending branch above)
+                skip = skip0 if i == 1 else skip1
+                cin_x, cin_s = x.shape[-1], skip.shape[-1]
                 dummy = jnp.zeros((1, 1, 1, cin_x + cin_s), x.dtype)
                 ku, bu = ConvBlock(num_ch_out, dtype=self.dtype,
                                    name=f"upconv_{i}_1")(dummy,
@@ -137,11 +150,11 @@ class DepthDecoder(nn.Module):
                 kf = jnp.concatenate(
                     [fold_up2_kernel(ku[:, :, :cin_x]),
                      fold_phase2_kernel(ku[:, :, cin_x:])], axis=2)
-                xin = jnp.concatenate([x, space_to_depth22(skip0)], -1)
+                xin = jnp.concatenate([x, space_to_depth22(skip)], -1)
                 x = nn.elu(conv_folded_edge(xin, kf, jnp.tile(bu, 4),
                                             self.dtype))
                 x_phase = True
-                pending = i  # 1 in scales is part of the fold1 gate
+                pending = i  # i in scales is part of the fold gate
                 continue
             if i == 0 and fold0:
                 x = ConvBlock(num_ch_out, dtype=self.dtype,

@@ -249,3 +249,30 @@ def test_batchnorm_updates_stats():
     old = variables["batch_stats"]["conv0_0"]["bn"]["mean"]
     new = updates["batch_stats"]["conv0_0"]["bn"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_depth_decoder_fold_stage2_parity():
+    """fold_stage2: upsample + skip-concat + upconv_2_1 as one coarse
+    conv at 1/8 res, the stage-1 merged conv consuming the phase rep --
+    same function, same parameters as the plain schedule."""
+    rng = np.random.default_rng(6)
+    chans = encoder_channels(18)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (2, H // 2 ** (i + 1),
+                                      W // 2 ** (i + 1), c))
+                    .astype(np.float32))
+        for i, c in enumerate(chans)
+    ]
+    folded = DepthDecoder(num_ch_enc=chans, fold_stage2=True,
+                          dtype=jnp.float32)
+    plain = DepthDecoder(num_ch_enc=chans, fold_stage2=False,
+                         dtype=jnp.float32)
+    variables = folded.init(KEY, feats)
+    # identical parameter trees: the fold changes the schedule, not params
+    assert (jax.tree.map(lambda a: a.shape, variables)
+            == jax.tree.map(lambda a: a.shape, plain.init(KEY, feats)))
+    of = folded.apply(variables, feats)
+    op = plain.apply(variables, feats)
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(of[("disp", s)]),
+                                   np.asarray(op[("disp", s)]), atol=2e-5)
