@@ -659,7 +659,22 @@ def warp_images_border(src, sx, sy, row_window: int = 32,
         return _post(out), l1.reshape(b, d, r, w)
 
     def gather_path():
-        g = _gather_warp(src, sxc, syc)
+        # chunk the batch through lax.map: this branch is the (rarely
+        # taken) exact fallback, but XLA schedules its buffers anyway --
+        # the f32 stacked-corner temporaries were the LARGEST single
+        # allocations in the compiled train step (540 MB each at batch
+        # 16, artifacts/hlo_sched_diff.md); per-chunk temps are 4x
+        # smaller, identical math (the corner stack is per-item)
+        bsz = src.shape[0]
+        chunk = max(d for d in range(1, min(4, bsz) + 1) if bsz % d == 0)
+        if chunk == bsz:
+            g = _gather_warp(src, sxc, syc)
+        else:
+            sc = src.reshape(bsz // chunk, chunk, *src.shape[1:])
+            xc2 = sxc.reshape(bsz // chunk, chunk, *sxc.shape[1:])
+            yc2 = syc.reshape(bsz // chunk, chunk, *syc.shape[1:])
+            g = lax.map(lambda a: _gather_warp(*a), (sc, xc2, yc2))
+            g = g.reshape(bsz, *g.shape[2:])
         if fold_out:
             from movedepth_tpu.ops.layout import fold_image
             gout = fold_image(g, c4)

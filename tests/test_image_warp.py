@@ -234,3 +234,18 @@ def test_image_warp_l1_epilogue_gradient(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_u),
                                atol=1e-4)
+
+
+def test_image_warp_gather_fallback_chunked(rng):
+    """The gather fallback's lax.map batch chunking (b=8 -> 2 chunks of
+    4) is bit-identical to the unchunked gather (the corner stack is
+    per-item). row_window >= R disables every Pallas rung."""
+    b, d, r, w, c = 8, 2, 32, 48, 3
+    src = jnp.asarray(rng.uniform(0, 1, (b, r, w, c)).astype(np.float32))
+    sx, sy = _coords(rng, b, d, r, w)
+    got = warp_images_border(src, sx, sy, row_window=1000, interpret=True)
+    want = _gather_warp(src, jnp.clip(sx, 0, w - 1.0),
+                        jnp.clip(sy, 0, r - 1.0))
+    # jit vs eager float reassociation only (as in the large-spread test)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
